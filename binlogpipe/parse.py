@@ -1,0 +1,893 @@
+"""Parse stage: header decode (pure JVM expressions) + per-event-type
+payload decoders (Arrow-batched pandas UDFs).
+
+Each decoder re-implements the semantics of the matching reference parser in
+`/root/reference/crates/old/src/events/mod.rs` (file:line cited per
+function). All heavy decode runs batch-at-a-time over Arrow (no row-at-a-time
+Spark UDFs); fixed-layout arithmetic uses ``int.from_bytes``/numpy, strings
+use lossy UTF-8 exactly like the reference (utils.rs:66,75,87,94).
+
+Decode errors never panic an executor (the reference `unreachable!()`s,
+mod.rs:405-415): every decode struct carries a ``parse_error`` field, and the
+router sends rows with a non-null error to the quarantine sink.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import layout
+from . import np_codec as c
+from .coltypes import decode_row, parse_defs
+
+# ---------------------------------------------------------------------------
+# header / validation (JVM-only, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def with_header(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Add header fields, sink, checksum and validation flags.
+
+    Pure column expressions (layout.py) — the route/aggregate hot path never
+    leaves the JVM. Mirrors parse_header (mod.rs:52-81) + dispatch
+    (mod.rs:380-417) + checksum tail (H3).
+    """
+    tokens = F.col(tokens_col)
+    cols = layout.header_columns(tokens)
+    df = df.select("*", *[v.alias(k) for k, v in cols.items()])
+    df = df.withColumn("checksum", layout.checksum_expr(tokens))
+    # Validation invariants (SURVEY §2.1 S2/S3): header length field must
+    # equal the token count; magic-prefixed rows are file headers that the
+    # splitter should have stripped; event type must be known.
+    magic = layout.MAGIC
+    is_magic = (
+        (F.col("n_tok") >= 4)
+        & (F.element_at(tokens, 1) == magic[0])
+        & (F.element_at(tokens, 2) == magic[1])
+        & (F.element_at(tokens, 3) == magic[2])
+        & (F.element_at(tokens, 4) == magic[3])
+    )
+    df = (
+        df.withColumn("valid_size", F.col("n_tok").cast("long") == F.col("event_size"))
+        .withColumn("is_magic", is_magic)
+        .withColumn("sink", layout.sink_expr(F.col("event_type")))
+    )
+    df = df.withColumn(
+        "sink",
+        F.when(
+            ~F.col("valid_size") | F.col("is_magic"), layout.QUARANTINE_SINK
+        ).otherwise(F.col("sink")),
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF plumbing
+# ---------------------------------------------------------------------------
+
+def _struct_with_error(fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(fields + [T.StructField("parse_error", T.StringType())])
+
+
+def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict]):
+    """Wrap a per-event ``bytes -> dict`` decoder as an Arrow-batched pandas
+    UDF returning ``schema`` (+ parse_error). The Python loop is per Arrow
+    batch, never per Spark row."""
+    names = [f.name for f in schema.fields]
+
+    @pandas_udf(schema)
+    def udf(tokens: pd.Series) -> pd.DataFrame:
+        recs = []
+        for t in tokens:
+            try:
+                r = fn(c.tokens_to_bytes(t))
+                r["parse_error"] = None
+            except Exception as e:  # noqa: BLE001 — quarantine, don't panic
+                r = {n: None for n in names}
+                r["parse_error"] = f"{type(e).__name__}: {e}"
+            recs.append(r)
+        return pd.DataFrame(recs, columns=names)
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# shared sub-decoders
+# ---------------------------------------------------------------------------
+
+def parse_status_vars(buf: bytes) -> list[dict]:
+    """Query status-var block (query.rs:75-177), bounded sub-slice with the
+    same exhaustion check (`assert_eq!(remain, 0)`, mod.rs:475-477)."""
+    out: list[dict] = []
+    off = 0
+    while off < len(buf):
+        key = buf[off]
+        off += 1
+        if key == 0x00:  # Q_FLAGS2 (inverted semantics, query.rs:78-93)
+            code, off = c.u32(buf, off)
+            out.append({
+                "key": key, "name": "Q_FLAGS2_CODE",
+                "auto_is_null": (code >> 14) % 2 == 1,
+                "auto_commit": (code >> 19) % 2 == 0,
+                "foreign_key_checks": (code >> 26) % 2 == 0,
+                "unique_checks": (code >> 27) % 2 == 0,
+            })
+        elif key == 0x01:  # Q_SQL_MODE: 32 bool bits (query.rs:94-131)
+            code, off = c.u64(buf, off)
+            names = [
+                "real_as_float", "pipes_as_concat", "ansi_quotes",
+                "ignore_space", "not_used", "only_full_group_by",
+                "no_unsigned_subtraction", "no_dir_in_create", "postgresql",
+                "oracle", "mssql", "db2", "maxdb", "no_key_options",
+                "no_table_options", "no_field_options", "mysql323", "mysql40",
+                "ansi", "no_auto_value_on_zero", "no_backslash_escapes",
+                "strict_trans_tables", "strict_all_tables", "no_zero_in_date",
+                "no_zero_date", "invalid_dates",
+                "error_for_division_by_zero", "traditional",
+                "no_auto_create_user", "high_not_precedence",
+                "no_engine_substitution", "pad_char_to_full_length",
+            ]
+            d = {"key": key, "name": "Q_SQL_MODE_CODE"}
+            d.update({n: (code >> i) % 2 == 1 for i, n in enumerate(names)})
+            out.append(d)
+        elif key == 0x02:  # Q_CATALOG: len + str + NUL (query.rs:132-138)
+            ln = buf[off]
+            val = c.string_var(buf[off + 1:off + 1 + ln], ln)
+            term = buf[off + 1 + ln]
+            if term != 0:
+                raise ValueError("Q_CATALOG missing NUL terminator")
+            off += 1 + ln + 1
+            out.append({"key": key, "name": "Q_CATALOG", "value": val})
+        elif key == 0x03:
+            incr, off = c.u16(buf, off)
+            offset, off = c.u16(buf, off)
+            out.append({"key": key, "name": "Q_AUTO_INCREMENT",
+                        "incr": incr, "offset": offset})
+        elif key == 0x04:
+            cl, off = c.u16(buf, off)
+            co, off = c.u16(buf, off)
+            sv, off = c.u16(buf, off)
+            out.append({"key": key, "name": "Q_CHARSET_CODE",
+                        "client": cl, "conn": co, "server": sv})
+        elif key == 0x05:
+            ln = buf[off]
+            out.append({"key": key, "name": "Q_TIME_ZONE_CODE",
+                        "value": c.extract_string(buf[off + 1:off + 1 + ln])})
+            off += 1 + ln
+        elif key == 0x06:
+            ln = buf[off]
+            out.append({"key": key, "name": "Q_CATALOG_NZ_CODE",
+                        "value": c.extract_string(buf[off + 1:off + 1 + ln])})
+            off += 1 + ln
+        elif key == 0x07:
+            v, off = c.u16(buf, off)
+            out.append({"key": key, "name": "Q_LC_TIME_NAMES_CODE", "value": v})
+        elif key == 0x08:
+            v, off = c.u16(buf, off)
+            out.append({"key": key, "name": "Q_CHARSET_DATABASE_CODE", "value": v})
+        elif key == 0x09:
+            v, off = c.u64(buf, off)
+            out.append({"key": key, "name": "Q_TABLE_MAP_FOR_UPDATE_CODE", "value": v})
+        elif key == 0x0A:
+            v, off = c.u32(buf, off)
+            out.append({"key": key, "name": "Q_MASTER_DATA_WRITTEN_CODE", "value": v})
+        elif key == 0x0B:
+            ln = buf[off]
+            user = c.string_var(buf[off + 1:off + 1 + ln], ln)
+            off += 1 + ln
+            ln = buf[off]
+            host = c.string_var(buf[off + 1:off + 1 + ln], ln)
+            off += 1 + ln
+            out.append({"key": key, "name": "Q_INVOKERS", "user": user, "host": host})
+        elif key == 0x0C:
+            count = buf[off]
+            off += 1
+            names_ = []
+            for _ in range(count):
+                s, off = c.string_nul(buf, off)
+                names_.append(s)
+            out.append({"key": key, "name": "Q_UPDATED_DB_NAMES", "value": names_})
+        elif key == 0x0D:
+            # reference reads 4 bytes though the doc says 3 (query.rs:27,174)
+            v, off = c.u32(buf, off)
+            out.append({"key": key, "name": "Q_MICROSECONDS", "value": v})
+        else:
+            raise ValueError(f"unknown status var key {key:#x}")
+    return out
+
+
+def _status_vars_json(buf: bytes) -> str:
+    return json.dumps(parse_status_vars(buf), separators=(",", ":"))
+
+
+def _gtid_fields(buf: bytes) -> dict:
+    """Shared GTID/AnonymousGtid body (parse_events_gtid, mod.rs:1063-1114).
+    source_id renders as per-byte decimal concat in 4-2-2-2-6 groups — NOT a
+    hex uuid (mod.rs:1067-1091)."""
+    off = layout.HEADER_LEN
+    rbr_only = buf[off] == 0
+    off += 1
+    s = buf[off:off + 16]
+    source_id = "-".join(
+        c.byte_decimal_concat(s[a:b])
+        for a, b in ((0, 4), (4, 6), (6, 8), (8, 10), (10, 16))
+    )
+    off += 16
+    transaction_id = c.byte_decimal_concat(buf[off:off + 8])
+    off += 8
+    ts_type = buf[off]
+    off += 1
+    last_committed, off = c.i64(buf, off)
+    sequence_number, off = c.i64(buf, off)
+    return {
+        "rbr_only": rbr_only, "source_id": source_id,
+        "transaction_id": transaction_id, "ts_type": ts_type,
+        "last_committed": last_committed, "sequence_number": sequence_number,
+    }
+
+
+# ---------------------------------------------------------------------------
+# per-type decoders: bytes -> dict. Offsets start at 19 (end of header).
+# event_size == len(buf) is validated upstream.
+# ---------------------------------------------------------------------------
+
+H = layout.HEADER_LEN
+
+
+def decode_query_py(buf: bytes) -> dict:
+    """Query event (mod.rs:469-514)."""
+    off = H
+    slave_proxy_id, off = c.u32(buf, off)
+    execution_time, off = c.u32(buf, off)
+    schema_length = buf[off]; off += 1
+    error_code, off = c.u16(buf, off)
+    svl, off = c.u16(buf, off)
+    status_vars = _status_vars_json(buf[off:off + svl])
+    off += svl
+    schema = buf[off:off + schema_length].decode("utf-8")
+    off += schema_length + 1  # +1 skip byte (mod.rs:481)
+    qlen = len(buf) - H - 4 - 4 - 1 - 2 - 2 - svl - schema_length - 1 - 4
+    query = c.extract_string(buf[off:off + qlen])
+    return {
+        "slave_proxy_id": slave_proxy_id, "execution_time": execution_time,
+        "schema_length": schema_length, "error_code": error_code,
+        "status_vars_length": svl, "status_vars": status_vars,
+        "schema": schema, "query": query,
+    }
+
+
+QUERY_SCHEMA = _struct_with_error([
+    T.StructField("slave_proxy_id", T.LongType()),
+    T.StructField("execution_time", T.LongType()),
+    T.StructField("schema_length", T.IntegerType()),
+    T.StructField("error_code", T.IntegerType()),
+    T.StructField("status_vars_length", T.IntegerType()),
+    T.StructField("status_vars", T.StringType()),
+    T.StructField("schema", T.StringType()),
+    T.StructField("query", T.StringType()),
+])
+
+
+def decode_rotate_py(buf: bytes) -> dict:
+    """Rotate event (mod.rs:521-535)."""
+    position, off = c.u64(buf, H)
+    str_len = len(buf) - H - 8 - 4
+    next_binlog = c.string_var(buf[off:off + str_len], str_len)
+    return {"position": position, "next_binlog": next_binlog}
+
+
+ROTATE_SCHEMA = _struct_with_error([
+    T.StructField("position", T.LongType()),
+    T.StructField("next_binlog", T.StringType()),
+])
+
+
+def decode_intvar_py(buf: bytes) -> dict:
+    """IntVar event (mod.rs:537-554)."""
+    kinds = {0: "InvalidIntEvent", 1: "LastInsertIdEvent", 2: "InsertIdEvent"}
+    t = buf[H]
+    if t not in kinds:
+        raise ValueError(f"bad intvar type {t}")
+    value, _ = c.u64(buf, H + 1)
+    return {"e_type": kinds[t], "value": value}
+
+
+INTVAR_SCHEMA = _struct_with_error([
+    T.StructField("e_type", T.StringType()),
+    T.StructField("value", T.LongType()),
+])
+
+
+def decode_rand_py(buf: bytes) -> dict:
+    """Rand event (mod.rs:773-784)."""
+    seed1, off = c.u64(buf, H)
+    seed2, _ = c.u64(buf, off)
+    return {"seed1": seed1, "seed2": seed2}
+
+
+RAND_SCHEMA = _struct_with_error([
+    T.StructField("seed1", T.LongType()),
+    T.StructField("seed2", T.LongType()),
+])
+
+
+_USER_VAR_TYPES = {0: "STRING", 1: "REAL", 2: "INT", 3: "ROW", 4: "DECIMAL",
+                   5: "VALUE_TYPE_COUNT"}
+
+
+def decode_user_var_py(buf: bytes) -> dict:
+    """UserVar event (mod.rs:797-858); INT values carry a trailing flags
+    byte (mod.rs:833-840)."""
+    off = H
+    name_length, off = c.u32(buf, off)
+    name = c.string_var(buf[off:off + name_length], name_length)
+    off += name_length
+    is_null = buf[off] == 1
+    off += 1
+    d = {"name_length": name_length, "name": name, "is_null": is_null,
+         "d_type": None, "charset": None, "value_length": None,
+         "value": None, "value_flags": None}
+    if is_null:
+        return d
+    d["d_type"] = _USER_VAR_TYPES.get(buf[off], "Unknown")
+    off += 1
+    d["charset"], off = c.u32(buf, off)
+    vl, off = c.u32(buf, off)
+    d["value_length"] = vl
+    d["value"] = list(buf[off:off + vl])
+    off += vl
+    if d["d_type"] == "INT":
+        d["value_flags"] = buf[off]
+    return d
+
+
+USER_VAR_SCHEMA = _struct_with_error([
+    T.StructField("name_length", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("is_null", T.BooleanType()),
+    T.StructField("d_type", T.StringType()),
+    T.StructField("charset", T.LongType()),
+    T.StructField("value_length", T.LongType()),
+    T.StructField("value", T.ArrayType(T.IntegerType())),
+    T.StructField("value_flags", T.IntegerType()),
+])
+
+
+def decode_format_desc_py(buf: bytes) -> dict:
+    """FormatDescription event (mod.rs:860-882)."""
+    off = H
+    binlog_version, off = c.u16(buf, off)
+    server_version = c.extract_string(buf[off:off + 50])
+    off += 50
+    create_timestamp, off = c.u32(buf, off)
+    event_header_length = buf[off]; off += 1
+    num = len(buf) - H - (2 + 50 + 4 + 1) - 1 - 4
+    supported_types = list(buf[off:off + num])
+    off += num
+    checksum_alg = buf[off]
+    return {
+        "binlog_version": binlog_version,
+        "mysql_server_version": server_version,
+        "create_timestamp": create_timestamp,
+        "event_header_length": event_header_length,
+        "supported_types": supported_types,
+        "checksum_alg": checksum_alg,
+    }
+
+
+FORMAT_DESC_SCHEMA = _struct_with_error([
+    T.StructField("binlog_version", T.IntegerType()),
+    T.StructField("mysql_server_version", T.StringType()),
+    T.StructField("create_timestamp", T.LongType()),
+    T.StructField("event_header_length", T.IntegerType()),
+    T.StructField("supported_types", T.ArrayType(T.IntegerType())),
+    T.StructField("checksum_alg", T.IntegerType()),
+])
+
+
+def decode_xid_py(buf: bytes) -> dict:
+    """Xid event (mod.rs:884-894)."""
+    xid, _ = c.u64(buf, H)
+    return {"xid": xid}
+
+
+XID_SCHEMA = _struct_with_error([T.StructField("xid", T.LongType())])
+
+
+def decode_file_data_py(buf: bytes) -> dict:
+    """Shared CreateFile/AppendBlock/BeginLoadQuery body
+    (parse_file_data, mod.rs:663-670)."""
+    file_id, off = c.u32(buf, H)
+    block = c.extract_string(buf[off:len(buf) - 4])
+    return {"file_id": file_id, "block_data": block}
+
+
+FILE_DATA_SCHEMA = _struct_with_error([
+    T.StructField("file_id", T.LongType()),
+    T.StructField("block_data", T.StringType()),
+])
+
+
+def decode_file_id16_py(buf: bytes) -> dict:
+    """ExecLoad/DeleteFile body (mod.rs:698-718)."""
+    file_id, _ = c.u16(buf, H)
+    return {"file_id": file_id}
+
+
+FILE_ID16_SCHEMA = _struct_with_error([T.StructField("file_id", T.IntegerType())])
+
+
+_DUP_HANDLING = {0: "Error", 1: "Ignore", 2: "Replace"}
+
+
+def decode_execute_load_query_py(buf: bytes) -> dict:
+    """ExecuteLoadQuery event (mod.rs:909-964)."""
+    off = H
+    thread_id, off = c.u32(buf, off)
+    execution_time, off = c.u32(buf, off)
+    schema_length = buf[off]; off += 1
+    error_code, off = c.u16(buf, off)
+    svl, off = c.u16(buf, off)
+    file_id, off = c.u32(buf, off)
+    start_pos, off = c.u32(buf, off)
+    end_pos, off = c.u32(buf, off)
+    dup = _DUP_HANDLING.get(buf[off])
+    if dup is None:
+        raise ValueError(f"bad dup_handling {buf[off]}")
+    off += 1
+    status_vars = _status_vars_json(buf[off:off + svl])
+    off += svl
+    schema = buf[off:off + schema_length].decode("utf-8")
+    off += schema_length + 1
+    qlen = len(buf) - H - 26 - svl - schema_length - 1 - 4
+    query = c.extract_string(buf[off:off + qlen])
+    return {
+        "thread_id": thread_id, "execution_time": execution_time,
+        "schema_length": schema_length, "error_code": error_code,
+        "status_vars_length": svl, "file_id": file_id,
+        "start_pos": start_pos, "end_pos": end_pos,
+        "dup_handling_flags": dup, "status_vars": status_vars,
+        "schema": schema, "query": query,
+    }
+
+
+EXEC_LOAD_QUERY_SCHEMA = _struct_with_error([
+    T.StructField("thread_id", T.LongType()),
+    T.StructField("execution_time", T.LongType()),
+    T.StructField("schema_length", T.IntegerType()),
+    T.StructField("error_code", T.IntegerType()),
+    T.StructField("status_vars_length", T.IntegerType()),
+    T.StructField("file_id", T.LongType()),
+    T.StructField("start_pos", T.LongType()),
+    T.StructField("end_pos", T.LongType()),
+    T.StructField("dup_handling_flags", T.StringType()),
+    T.StructField("status_vars", T.StringType()),
+    T.StructField("schema", T.StringType()),
+    T.StructField("query", T.StringType()),
+])
+
+
+def decode_table_map_py(buf: bytes) -> dict:
+    """TableMap event (mod.rs:966-1018). The dictionary row that feeds the
+    enrich broadcast join (replaces the reference's global registry,
+    mod.rs:23-26, 999-1001)."""
+    off = H
+    table_id, off = c.u48(buf, off)
+    tm_flags, off = c.u16(buf, off)
+    schema_length, schema_name, off = c.string_fixed(buf, off)
+    if buf[off] != 0:
+        raise ValueError("missing NUL after schema")
+    off += 1
+    table_name_length, table_name, off = c.string_fixed(buf, off)
+    if buf[off] != 0:
+        raise ValueError("missing NUL after table name")
+    off += 1
+    column_count, off = c.int_lenenc(buf, off)
+    type_ids = list(buf[off:off + column_count])
+    off += column_count
+    meta_count, off = c.int_lenenc(buf, off)
+    defs = parse_defs(type_ids, buf[off:off + meta_count])
+    off += meta_count
+    mask_len = (column_count + 7) // 8
+    null_bits = list(buf[off:off + mask_len])
+    return {
+        "table_id": table_id, "tm_flags": tm_flags,
+        "schema_name": schema_name, "table_name": table_name,
+        "column_count": column_count,
+        "columns_type": [{"type_id": t, "meta": m} for t, m in defs],
+        "null_bits": null_bits,
+    }
+
+
+COLUMNS_TYPE_T = T.ArrayType(T.StructType([
+    T.StructField("type_id", T.IntegerType()),
+    T.StructField("meta", T.ArrayType(T.IntegerType())),
+]))
+
+TABLE_MAP_SCHEMA = _struct_with_error([
+    T.StructField("table_id", T.LongType()),
+    T.StructField("tm_flags", T.IntegerType()),
+    T.StructField("schema_name", T.StringType()),
+    T.StructField("table_name", T.StringType()),
+    T.StructField("column_count", T.IntegerType()),
+    T.StructField("columns_type", COLUMNS_TYPE_T),
+    T.StructField("null_bits", T.ArrayType(T.IntegerType())),
+])
+
+
+def decode_incident_py(buf: bytes) -> dict:
+    """Incident event (mod.rs:1020-1041)."""
+    d_type, off = c.u16(buf, H)
+    kinds = {0: "None", 1: "LostEvents"}
+    if d_type not in kinds:
+        raise ValueError(f"bad incident type {d_type}")
+    ln = buf[off]; off += 1
+    message = c.string_var(buf[off:off + ln], ln)
+    return {"d_type": kinds[d_type], "message_length": ln, "message": message}
+
+
+INCIDENT_SCHEMA = _struct_with_error([
+    T.StructField("d_type", T.StringType()),
+    T.StructField("message_length", T.IntegerType()),
+    T.StructField("message", T.StringType()),
+])
+
+
+def decode_rows_query_py(buf: bytes) -> dict:
+    """RowsQuery event (mod.rs:1048-1061)."""
+    ln = buf[H]
+    query_text = c.string_var(buf[H + 1:H + 1 + ln], ln)
+    return {"length": ln, "query_text": query_text}
+
+
+ROWS_QUERY_SCHEMA = _struct_with_error([
+    T.StructField("length", T.IntegerType()),
+    T.StructField("query_text", T.StringType()),
+])
+
+
+GTID_SCHEMA = _struct_with_error([
+    T.StructField("rbr_only", T.BooleanType()),
+    T.StructField("source_id", T.StringType()),
+    T.StructField("transaction_id", T.StringType()),
+    T.StructField("ts_type", T.IntegerType()),
+    T.StructField("last_committed", T.LongType()),
+    T.StructField("sequence_number", T.LongType()),
+])
+
+
+def decode_previous_gtids_py(buf: bytes) -> dict:
+    """PreviousGtids event (mod.rs:1164-1177); gtid_sets stays raw bytes."""
+    n = len(buf) - H - 4 - 4
+    gtid_sets = list(buf[H:H + n])
+    buf_size, _ = c.u32(buf, H + n)
+    return {"gtid_sets": gtid_sets, "buf_size": buf_size}
+
+
+PREV_GTIDS_SCHEMA = _struct_with_error([
+    T.StructField("gtid_sets", T.ArrayType(T.IntegerType())),
+    T.StructField("buf_size", T.LongType()),
+])
+
+
+def _load_flags(flags: int) -> dict:
+    return {
+        "dump_file": flags % 2 == 1,
+        "opt_enclosed": (flags >> 1) % 2 == 1,
+        "replace": (flags >> 2) % 2 == 1,
+        "ignore": (flags >> 3) % 2 == 1,
+    }
+
+
+def _extract_many_fields(buf: bytes, off: int, num_fields: int,
+                         table_name_length: int, schema_length: int):
+    """Shared Load/NewLoad tail (extract_many_fields, mod.rs:556-594)."""
+    field_name_lengths = list(buf[off:off + num_fields])
+    off += num_fields
+    total_len = sum(field_name_lengths) + num_fields
+    raw = buf[off:off + total_len]
+    off += total_len
+    field_names, p = [], 0
+    for _ in range(num_fields):
+        s, p = c.string_nul(raw, p)
+        field_names.append(s)
+    table_name = c.extract_string(buf[off:off + table_name_length + 1])
+    off += table_name_length + 1
+    schema_name = c.extract_string(buf[off:off + schema_length + 1])
+    off += schema_length + 1
+    return field_name_lengths, field_names, table_name, schema_name, off
+
+
+def decode_load_py(buf: bytes) -> dict:
+    """Load event (mod.rs:596-656)."""
+    off = H
+    thread_id, off = c.u32(buf, off)
+    execution_time, off = c.u32(buf, off)
+    skip_lines, off = c.u32(buf, off)
+    table_name_length = buf[off]; off += 1
+    schema_length = buf[off]; off += 1
+    num_fields, off = c.u32(buf, off)
+    field_term, enclosed_by, line_term, line_start, escaped_by = buf[off:off + 5]
+    off += 5
+    opt = _load_flags(buf[off]); off += 1
+    ef = buf[off]; off += 1
+    empty_flags = {
+        "field_term_empty": ef % 2 == 1,
+        "enclosed_empty": (ef >> 1) % 2 == 1,
+        "line_term_empty": (ef >> 2) % 2 == 1,
+        "line_start_empty": (ef >> 3) % 2 == 1,
+        "escape_empty": (ef >> 4) % 2 == 1,
+    }
+    fnl, fns, table_name, schema_name, off = _extract_many_fields(
+        buf, off, num_fields, table_name_length, schema_length)
+    file_len = (len(buf) - H - 25 - num_fields - (sum(fnl) + num_fields)
+                - table_name_length - schema_length - 3 - 4)
+    file_name = c.extract_string(buf[off:off + file_len])
+    return {
+        "thread_id": thread_id, "execution_time": execution_time,
+        "skip_lines": skip_lines, "num_fields": num_fields,
+        "field_term": field_term, "enclosed_by": enclosed_by,
+        "line_term": line_term, "line_start": line_start,
+        "escaped_by": escaped_by,
+        "opt_flags": json.dumps(opt, separators=(",", ":")),
+        "empty_flags": json.dumps(empty_flags, separators=(",", ":")),
+        "field_names": fns, "table_name": table_name,
+        "schema_name": schema_name, "file_name": file_name,
+    }
+
+
+LOAD_SCHEMA = _struct_with_error([
+    T.StructField("thread_id", T.LongType()),
+    T.StructField("execution_time", T.LongType()),
+    T.StructField("skip_lines", T.LongType()),
+    T.StructField("num_fields", T.LongType()),
+    T.StructField("field_term", T.IntegerType()),
+    T.StructField("enclosed_by", T.IntegerType()),
+    T.StructField("line_term", T.IntegerType()),
+    T.StructField("line_start", T.IntegerType()),
+    T.StructField("escaped_by", T.IntegerType()),
+    T.StructField("opt_flags", T.StringType()),
+    T.StructField("empty_flags", T.StringType()),
+    T.StructField("field_names", T.ArrayType(T.StringType())),
+    T.StructField("table_name", T.StringType()),
+    T.StructField("schema_name", T.StringType()),
+    T.StructField("file_name", T.StringType()),
+])
+
+
+def decode_new_load_py(buf: bytes) -> dict:
+    """NewLoad event (mod.rs:725-771): length-prefixed separator strings."""
+    off = H
+    thread_id, off = c.u32(buf, off)
+    execution_time, off = c.u32(buf, off)
+    skip_lines, off = c.u32(buf, off)
+    table_name_length = buf[off]; off += 1
+    schema_length = buf[off]; off += 1
+    num_fields, off = c.u32(buf, off)
+    seps = {}
+    for nm in ("field_term", "enclosed_by", "line_term", "line_start", "escaped_by"):
+        ln = buf[off]
+        seps[nm] = c.string_var(buf[off + 1:off + 1 + ln], ln)
+        off += 1 + ln
+    opt = _load_flags(buf[off]); off += 1
+    fnl, fns, table_name, schema_name, off = _extract_many_fields(
+        buf, off, num_fields, table_name_length, schema_length)
+    file_len = (len(buf) - H - 25 - num_fields - (sum(fnl) + num_fields)
+                - table_name_length - schema_length - 3 - 4)
+    file_name = c.extract_string(buf[off:off + file_len])
+    return {
+        "thread_id": thread_id, "execution_time": execution_time,
+        "skip_lines": skip_lines, "num_fields": num_fields,
+        **seps,
+        "opt_flags": json.dumps(opt, separators=(",", ":")),
+        "field_names": fns, "table_name": table_name,
+        "schema_name": schema_name, "file_name": file_name,
+    }
+
+
+NEW_LOAD_SCHEMA = _struct_with_error([
+    T.StructField("thread_id", T.LongType()),
+    T.StructField("execution_time", T.LongType()),
+    T.StructField("skip_lines", T.LongType()),
+    T.StructField("num_fields", T.LongType()),
+    T.StructField("field_term", T.StringType()),
+    T.StructField("enclosed_by", T.StringType()),
+    T.StructField("line_term", T.StringType()),
+    T.StructField("line_start", T.StringType()),
+    T.StructField("escaped_by", T.StringType()),
+    T.StructField("opt_flags", T.StringType()),
+    T.StructField("field_names", T.ArrayType(T.StringType())),
+    T.StructField("table_name", T.StringType()),
+    T.StructField("schema_name", T.StringType()),
+    T.StructField("file_name", T.StringType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# rows events (post-enrich decode: needs the broadcast-joined columns_type)
+# ---------------------------------------------------------------------------
+
+CELL_T = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("bytes", T.ArrayType(T.IntegerType())),
+    T.StructField("num_val", T.DoubleType()),
+])
+
+ROWS_SCHEMA = _struct_with_error([
+    T.StructField("table_id", T.LongType()),
+    T.StructField("end_of_stmt", T.BooleanType()),
+    T.StructField("foreign_key_checks", T.BooleanType()),
+    T.StructField("unique_key_checks", T.BooleanType()),
+    T.StructField("has_columns", T.BooleanType()),
+    T.StructField("extra_data_len", T.IntegerType()),
+    T.StructField("extra_data", T.StringType()),
+    T.StructField("column_count", T.IntegerType()),
+    T.StructField("image_bits1", T.ArrayType(T.IntegerType())),
+    T.StructField("image_bits2", T.ArrayType(T.IntegerType())),
+    T.StructField("rows", T.ArrayType(T.ArrayType(CELL_T))),
+])
+
+_EXTRA_FORMATS = {0x00: "NDB", 0x40: "OPEN1", 0x41: "OPEN2", 0xFF: "MULTI"}
+
+
+def decode_rows_py(buf: bytes, col_defs: list[tuple[int, list[int]]],
+                   n_images: int) -> dict:
+    """Write/Update/DeleteRowsV2 (mod.rs:1229-1349).
+
+    `n_images` = 1 for write/delete, 2 for update (before/after image
+    bitmaps, rows alternate before,after,...). Inverted flag-bit semantics
+    per rows.rs:5-11 / mod.rs:1187-1192.
+    """
+    off = H
+    table_id, off = c.u48(buf, off)
+    flag, off = c.u16(buf, off)
+    end_of_stmt = flag % 2 == 1
+    foreign_key_checks = (flag >> 1) % 2 == 0
+    unique_key_checks = (flag >> 2) % 2 == 0
+    has_columns = (flag >> 3) % 2 == 0
+    extra_data_len, off = c.u16(buf, off)
+    if extra_data_len < 2:
+        raise ValueError("extra_data_len < 2")
+    extra = []
+    if extra_data_len > 2:
+        # many1(parse_extra_data) (rows.rs:48-79); fixtures always hit the
+        # ==2 empty case (mod.rs:1194-1198)
+        end = off + extra_data_len - 2
+        while off < end:
+            if buf[off] != 0x00:
+                raise ValueError(f"unknown extra data type {buf[off]}")
+            length = buf[off + 1]
+            fmt = _EXTRA_FORMATS.get(buf[off + 2])
+            if fmt is None:
+                raise ValueError(f"unknown extra data format {buf[off + 2]}")
+            payload = c.extract_string(buf[off + 3:off + 3 + length])
+            extra.append({"length": length, "format": fmt, "payload": payload})
+            off += 3 + length
+    cc_off = off
+    column_count, off = c.int_lenenc(buf, off)
+    encode_len = off - cc_off
+    bit_len = (column_count + 7) // 8
+    bits1 = list(buf[off:off + bit_len])
+    off += bit_len
+    bits2 = None
+    if n_images == 2:
+        bits2 = list(buf[off:off + bit_len])
+        off += bit_len
+    # col_data length arithmetic (mod.rs:1234-1243 / 1316-1325)
+    col_len = (len(buf) - H - 6 - 2 - extra_data_len - encode_len
+               - bit_len * n_images - 4)
+    col_data = buf[off:off + col_len]
+    rows, p = [], 0
+    while p < len(col_data):
+        cells, used = decode_row(col_data[p:], bit_len, col_defs)
+        rows.append([{"kind": k, "bytes": b, "num_val": v} for k, b, v in cells])
+        if used == 0:
+            raise ValueError("row decode made no progress")
+        p += used
+    return {
+        "table_id": table_id, "end_of_stmt": end_of_stmt,
+        "foreign_key_checks": foreign_key_checks,
+        "unique_key_checks": unique_key_checks, "has_columns": has_columns,
+        "extra_data_len": extra_data_len,
+        "extra_data": json.dumps(extra, separators=(",", ":")),
+        "column_count": column_count, "image_bits1": bits1,
+        "image_bits2": bits2, "rows": rows,
+    }
+
+
+def _coerce_col_defs(defs) -> list[tuple[int, list[int]]]:
+    """columns_type arrives from Arrow as list of dicts/Rows; normalize."""
+    out = []
+    for d in defs:
+        if isinstance(d, dict):
+            out.append((int(d["type_id"]), [int(x) for x in d["meta"]]))
+        else:  # pyspark Row
+            out.append((int(d.type_id), [int(x) for x in d.meta]))
+    return out
+
+
+def make_rows_udf(n_images: int):
+    names = [f.name for f in ROWS_SCHEMA.fields]
+
+    @pandas_udf(ROWS_SCHEMA)
+    def udf(tokens: pd.Series, col_defs: pd.Series) -> pd.DataFrame:
+        recs = []
+        for t, defs in zip(tokens, col_defs):
+            try:
+                if defs is None:
+                    raise ValueError("no table-map entry for table_id")
+                r = decode_rows_py(c.tokens_to_bytes(t), _coerce_col_defs(defs),
+                                   n_images)
+                r["parse_error"] = None
+            except Exception as e:  # noqa: BLE001
+                r = {n: None for n in names}
+                r["parse_error"] = f"{type(e).__name__}: {e}"
+            recs.append(r)
+        return pd.DataFrame(recs, columns=names)
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# decoder registry: sink name -> (schema, pandas_udf factory)
+# ---------------------------------------------------------------------------
+
+def _simple(schema, fn):
+    return lambda: _rowwise(schema, fn)
+
+
+DECODERS: dict[str, tuple[T.StructType, Callable]] = {
+    "QUERY": (QUERY_SCHEMA, _simple(QUERY_SCHEMA, decode_query_py)),
+    "ROTATE": (ROTATE_SCHEMA, _simple(ROTATE_SCHEMA, decode_rotate_py)),
+    "INTVAR": (INTVAR_SCHEMA, _simple(INTVAR_SCHEMA, decode_intvar_py)),
+    "RAND": (RAND_SCHEMA, _simple(RAND_SCHEMA, decode_rand_py)),
+    "USER_VAR": (USER_VAR_SCHEMA, _simple(USER_VAR_SCHEMA, decode_user_var_py)),
+    "FORMAT_DESC": (FORMAT_DESC_SCHEMA,
+                    _simple(FORMAT_DESC_SCHEMA, decode_format_desc_py)),
+    "XID": (XID_SCHEMA, _simple(XID_SCHEMA, decode_xid_py)),
+    "BEGIN_LOAD_QUERY": (FILE_DATA_SCHEMA,
+                         _simple(FILE_DATA_SCHEMA, decode_file_data_py)),
+    "CREATE_FILE": (FILE_DATA_SCHEMA,
+                    _simple(FILE_DATA_SCHEMA, decode_file_data_py)),
+    "APPEND_BLOCK": (FILE_DATA_SCHEMA,
+                     _simple(FILE_DATA_SCHEMA, decode_file_data_py)),
+    "EXEC_LOAD": (FILE_ID16_SCHEMA,
+                  _simple(FILE_ID16_SCHEMA, decode_file_id16_py)),
+    "DELETE_FILE": (FILE_ID16_SCHEMA,
+                    _simple(FILE_ID16_SCHEMA, decode_file_id16_py)),
+    "EXEC_LOAD_QUERY": (EXEC_LOAD_QUERY_SCHEMA,
+                        _simple(EXEC_LOAD_QUERY_SCHEMA,
+                                decode_execute_load_query_py)),
+    "TABLE_MAP": (TABLE_MAP_SCHEMA,
+                  _simple(TABLE_MAP_SCHEMA, decode_table_map_py)),
+    "INCIDENT": (INCIDENT_SCHEMA, _simple(INCIDENT_SCHEMA, decode_incident_py)),
+    "ROWS_QUERY": (ROWS_QUERY_SCHEMA,
+                   _simple(ROWS_QUERY_SCHEMA, decode_rows_query_py)),
+    "GTID": (GTID_SCHEMA, _simple(GTID_SCHEMA, _gtid_fields)),
+    "ANON_GTID": (GTID_SCHEMA, _simple(GTID_SCHEMA, _gtid_fields)),
+    "PREV_GTIDS": (PREV_GTIDS_SCHEMA,
+                   _simple(PREV_GTIDS_SCHEMA, decode_previous_gtids_py)),
+    "LOAD": (LOAD_SCHEMA, _simple(LOAD_SCHEMA, decode_load_py)),
+    "NEW_LOAD": (NEW_LOAD_SCHEMA, _simple(NEW_LOAD_SCHEMA, decode_new_load_py)),
+}
+
+# Header-only sinks (STOP/SLAVE/HEARTBEAT/UNKNOWN) need no payload decoder:
+# their typed sink is header + checksum only (mod.rs:516-519, 658-661,
+# 1043-1046, 462-467).
+
+
+def statement_kind(query_col: Column) -> Column:
+    """Grok-style statement classification on decoded SQL text
+    (SURVEY §2.3 Query row: regexp on the query string)."""
+    head = F.upper(F.regexp_extract(F.ltrim(query_col), r"^([A-Za-z]+)", 1))
+    known = ["INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "BEGIN",
+             "COMMIT", "ROLLBACK", "SET", "GRANT", "FLUSH", "TRUNCATE",
+             "RENAME", "LOAD", "REPLACE", "ANALYZE", "OPTIMIZE"]
+    return F.when(head.isin(known), head).otherwise(F.lit("OTHER"))

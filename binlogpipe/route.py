@@ -1,0 +1,40 @@
+"""Route stage: event-type router with salted repartitioning.
+
+The reference's dispatch (`mod.rs:380-417`) becomes a sink column (computed
+JVM-side in parse.with_header) plus a salted repartition so hot event types
+(QUERY 38/166, GTID 32/166 — BASELINE.md skew note) fan out across tasks
+instead of serializing into one (SURVEY §4 "Salted repartition").
+Unknown / v0-v1 rows types route to QUARANTINE instead of panicking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import layout
+
+
+def salt_expr(sink_col=None, doc_id_col=None):
+    """Per-type salt factor: salt = pmod(xxhash64(doc_id), k_sink)."""
+    sink_col = sink_col if sink_col is not None else F.col("sink")
+    doc_id_col = doc_id_col if doc_id_col is not None else F.col("doc_id")
+    factor = F.lit(layout.DEFAULT_SALT_FACTOR)
+    c = None
+    for name, k in layout.SALT_FACTORS.items():
+        cond = sink_col == name
+        c = F.when(cond, k) if c is None else c.when(cond, k)
+    factor = c.otherwise(factor)
+    return F.pmod(F.xxhash64(doc_id_col), factor)
+
+
+def routed(df_with_header: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
+    """Add salt and repartition on (sink, salt) ahead of the fan-out write.
+
+    One shuffle total for the whole fan-out; per-type typed decodes then
+    read partition-pruned slices of the routed table.
+    """
+    df = df_with_header.withColumn("salt", salt_expr())
+    if shuffle_partitions:
+        return df.repartition(shuffle_partitions, "sink", "salt")
+    return df.repartition("sink", "salt")

@@ -1,0 +1,146 @@
+"""End-to-end pipeline gates (BASELINE.md §2 / BASELINE.json):
+per-sink counts exact, routed-row token-array equality vs the fixtures,
+quarantine behavior, lineage consistency, checkpoint/resume."""
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools import fixture_gen
+
+GOLDEN_COUNTS = {
+    "QUERY": 38, "GTID": 32, "FORMAT_DESC": 16, "PREV_GTIDS": 16,
+    "ROTATE": 15, "XID": 13, "TABLE_MAP": 9, "WRITE_ROWS_V2": 7,
+    "ROWS_QUERY": 6, "ANON_GTID": 3, "USER_VAR": 3, "INTVAR": 2,
+    "DELETE_ROWS_V2": 1, "UPDATE_ROWS_V2": 1, "RAND": 1, "STOP": 1,
+    "BEGIN_LOAD_QUERY": 1, "EXEC_LOAD_QUERY": 1,
+}
+
+
+def test_per_sink_counts_exact(spark, pipeline_out):
+    got = {
+        r["sink"]: r["n"]
+        for r in spark.read.parquet(f"{pipeline_out['out']}/agg/sink_counts").collect()
+    }
+    assert got == GOLDEN_COUNTS
+    assert sum(got.values()) == 166
+
+
+def test_routed_token_array_equality(spark, pipeline_out):
+    """Routed rows must carry token arrays byte-identical to the fixture
+    events (BASELINE.json 'token-array equality'), compared sorted by
+    doc_id."""
+    expected = {
+        doc_id: list(ev) for doc_id, _, ev in fixture_gen.load_fixture_events()
+    }
+    routed = (
+        spark.read.parquet(f"{pipeline_out['out']}/routed")
+        .select("doc_id", "tokens").collect()
+    )
+    assert len(routed) == len(expected)
+    for r in sorted(routed, key=lambda x: x["doc_id"]):
+        assert list(r["tokens"]) == expected[r["doc_id"]], r["doc_id"]
+
+
+def test_no_parse_errors_and_no_quarantine(spark, pipeline_out):
+    routed = spark.read.parquet(f"{pipeline_out['out']}/routed")
+    assert routed.filter(F.col("sink") == "QUARANTINE").count() == 0
+    for sink_dir in sorted(Path(pipeline_out["out"], "sinks").iterdir()):
+        df = spark.read.parquet(str(sink_dir))
+        if "parse_error" in df.columns:
+            bad = df.filter(F.col("parse_error").isNotNull()).count()
+            assert bad == 0, f"{sink_dir.name}: {bad} parse errors"
+
+
+def test_sink_schemas_are_typed(spark, pipeline_out):
+    xid = spark.read.parquet(f"{pipeline_out['out']}/sinks/XID")
+    assert dict(xid.dtypes)["xid"] == "bigint"
+    q = spark.read.parquet(f"{pipeline_out['out']}/sinks/QUERY")
+    for col in ("slave_proxy_id", "query", "schema", "statement_kind"):
+        assert col in q.columns
+
+
+def test_lineage(spark, pipeline_out):
+    lin = spark.read.parquet(f"{pipeline_out['out']}/lineage")
+    rows = [r.asDict() for r in lin.collect()]
+    assert sum(r["rows_in"] for r in rows) == 166
+    assert sum(r["rows_routed"] for r in rows) == 166
+    for r in rows:
+        if r["rows_in"]:
+            assert r["first_doc_id"] is not None
+            assert r["last_doc_id"] is not None
+    assert len({r["partition_id"] for r in rows}) == len(rows)
+
+
+def test_metrics_emitted(pipeline_out):
+    m = json.loads(Path(pipeline_out["out"], "metrics.json").read_text())
+    assert m["rows"] == 166
+    assert set(m["stages"]) >= {"route", "enrich", "decode", "aggregate", "lineage"}
+    assert m["stages"]["route"]["rows"] == 166
+
+
+def test_checkpoint_resume(spark, fixture_parquet, tmp_path):
+    """A second invocation with the same run_id skips completed stages."""
+    from binlogpipe.job import run_pipeline
+
+    out = tmp_path / "resume_out"
+    m1 = run_pipeline(spark, fixture_parquet, str(out), run_id="r1")
+    state = json.loads((out / "_checkpoint" / "state.json").read_text())
+    assert set(state["stages"]) >= {"route", "enrich", "decode", "aggregate"}
+    m2 = run_pipeline(spark, fixture_parquet, str(out), run_id="r1")
+    # resumed run does no stage work
+    assert m2["stages"] == {}
+    # and the outputs are still there
+    assert spark.read.parquet(str(out / "agg" / "sink_counts")).count() == 18
+
+
+def test_malformed_rows_quarantined(spark, tmp_path):
+    """Truncated/corrupt events route to QUARANTINE instead of failing the
+    job (reference would panic: mod.rs:405-415)."""
+    from binlogpipe import parse
+
+    good = fixture_gen.load_fixture_events()[0][2]
+    bad_size = list(good)
+    bad_size_tokens = list(bad_size) + [0]  # n_tok != event_size
+    unknown_type = list(good)
+    unknown_type[4] = 0x55
+    v1_rows = list(good)
+    v1_rows[4] = 0x17  # v0/v1 rows events explicitly unsupported
+    magic_row = [254, 98, 105, 110] + list(good)
+
+    df = spark.createDataFrame(
+        [
+            ("bad/0", bad_size_tokens, len(bad_size_tokens), "bad"),
+            ("bad/1", unknown_type, len(unknown_type), "bad"),
+            ("bad/2", v1_rows, len(v1_rows), "bad"),
+            ("bad/3", magic_row, len(magic_row), "bad"),
+            ("ok/0", list(good), len(good), "ok"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    hdr = parse.with_header(df)
+    sinks = {r["doc_id"]: r["sink"] for r in hdr.select("doc_id", "sink").collect()}
+    assert sinks["bad/0"] == "QUARANTINE"
+    assert sinks["bad/1"] == "QUARANTINE"
+    assert sinks["bad/2"] == "QUARANTINE"
+    assert sinks["bad/3"] == "QUARANTINE"
+    assert sinks["ok/0"] == "FORMAT_DESC"
+
+
+def test_decode_error_flagged_not_fatal(spark):
+    """A structurally-valid event with a corrupt payload yields parse_error,
+    not an executor failure."""
+    from binlogpipe import parse
+
+    ev = bytearray(fixture_gen.load_fixture_events()[0][2])  # FORMAT_DESC
+    ev[4] = 0x13  # claim TABLE_MAP; payload won't parse as one
+    df = spark.createDataFrame(
+        [("x/0", list(ev), len(ev), "x")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    schema, factory = parse.DECODERS["TABLE_MAP"]
+    out = df.withColumn("d", factory()(F.col("tokens"))).select("d.*").collect()
+    # decode either errors cleanly or returns garbage fields — never raises
+    assert len(out) == 1
