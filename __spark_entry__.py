@@ -1,38 +1,897 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every SQL-expressible operator of the binlog pipeline
+(SURVEY.md §2) plus the training-data ops (dedup, similarity search, text
+analysis) with DuckDB oracles in `oracle_sql()`. Binlog-pipeline queries run
+over the committed fixture input table (`data/fixture_events.parquet`,
+generated from the reference's .bin files — sf-independent); analog and
+training-data queries run over the driver's sf tables.
+
+Column names and types are aligned between Spark and SQL (explicit casts +
+identical rounding) because the driver hash-compares values after sorting
+columns by name.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from binlogpipe import aggregate as agg
+from binlogpipe import enrich, layout, parse, textops, vecops
+
+REPO = Path(__file__).resolve().parent
+FIXTURE = str(REPO / "data" / "fixture_events.parquet")
+FX = f"read_parquet('{FIXTURE}')"
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL helpers for binlog byte arithmetic over tokens (1-indexed lists)
+# ---------------------------------------------------------------------------
+
+
+def _u(off0: int, nbytes: int) -> str:
+    """u{8*nbytes}le at 0-based byte offset as BIGINT (DuckDB)."""
+    terms = [
+        f"tokens[{off0 + k + 1}]::BIGINT * {1 << (8 * k)}" for k in range(nbytes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _chrcat(a_expr: str, b_expr: str) -> str:
+    """Bytes tokens[a..b] (1-indexed, inclusive) as a string."""
+    return (f"array_to_string(list_transform(tokens[{a_expr}:{b_expr}], "
+            f"x -> chr(x)), '')")
+
+
+def _extract_string_sql(a_expr: str, b_expr: str) -> str:
+    """extract_string semantics (trim at first NUL) on tokens[a..b]."""
+    sl = f"tokens[{a_expr}:{b_expr}]"
+    return (
+        f"(CASE WHEN list_position({sl}, 0) > 0 THEN "
+        f"array_to_string(list_transform({sl}[1:list_position({sl}, 0) - 1], "
+        f"x -> chr(x)), '') ELSE "
+        f"array_to_string(list_transform({sl}, x -> chr(x)), '') END)"
+    )
+
+
+def _sink_case_sql() -> str:
+    whens = "".join(
+        f" WHEN {tid} THEN '{name}'" for tid, name in layout.EVENT_TYPES.items()
+    )
+    return (
+        f"(CASE WHEN n_tok::BIGINT != {_u(9, 4)} THEN 'QUARANTINE' "
+        f"WHEN tokens[1]=254 AND tokens[2]=98 AND tokens[3]=105 AND tokens[4]=110 "
+        f"THEN 'QUARANTINE' "
+        f"ELSE (CASE tokens[5]{whens} ELSE 'QUARANTINE' END) END)"
+    )
+
+
+_STMT_KINDS = ("'INSERT','UPDATE','DELETE','CREATE','DROP','ALTER','BEGIN',"
+               "'COMMIT','ROLLBACK','SET','GRANT','FLUSH','TRUNCATE','RENAME',"
+               "'LOAD','REPLACE','ANALYZE','OPTIMIZE'")
+
+
+def _stmt_kind_sql(q: str) -> str:
+    head = f"upper(regexp_extract(ltrim({q}), '^([A-Za-z]+)', 1))"
+    return f"(CASE WHEN {head} IN ({_STMT_KINDS}) THEN {head} ELSE 'OTHER' END)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_zip({a}, {b}).list_transform(p -> "
+            f"p[1]::DOUBLE * p[2]::DOUBLE)), (acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform({a}, x -> x::DOUBLE * x::DOUBLE)), "
+            f"(acc, v) -> acc + v))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)}) / (({_norm_sql(a)}) * ({_norm_sql(b)}))"
+
+
+# shared deterministic hashes (same constants as binlogpipe.textops)
+_FP_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({col}, "
+    "''), ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % "
+    f"{textops.FP_MOD})"
+)
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(length({col}) - 2, 1) + 1), "
+    "i -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split("
+    "{col}[i:i+2], ''), ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) "
+    f"% {textops.MH_PRIME})))"
+)
+_STOP_SQL = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+_WS_TOKS_SQL = r"string_split_regex(trim({col}), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+def _fixture_df(spark: SparkSession) -> DataFrame:
+    return parse.with_header(spark.read.parquet(FIXTURE))
+
+
+def _decoded(spark: SparkSession, sink: str) -> DataFrame:
+    df = _fixture_df(spark).filter(F.col("sink") == sink)
+    schema, factory = parse.DECODERS[sink]
+    return df.withColumn("d", factory()(F.col("tokens")))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# query implementations (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_bl_sink_counts(spark, sf_dir):
+    return agg.sink_counts(_fixture_df(spark))
+
+
+def q_bl_header_decode(spark, sf_dir):
+    return _fixture_df(spark).select(
+        "doc_id",
+        F.col("timestamp").alias("ts_field"),
+        F.col("event_type").cast("long").alias("event_type"),
+        "server_id", "event_size", "log_pos",
+        F.col("flags").cast("long").alias("flags"),
+        "checksum",
+    ).orderBy("doc_id")
+
+
+def q_bl_validate(spark, sf_dir):
+    df = _fixture_df(spark)
+    return df.select(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("valid_size").cast("long")).alias("n_valid_size"),
+        F.sum(F.col("is_magic").cast("long")).alias("n_magic"),
+        F.sum((F.col("sink") != layout.QUARANTINE_SINK).cast("long")).alias("n_routed"),
+    )
+
+
+def q_bl_xid(spark, sf_dir):
+    return (_decoded(spark, "XID")
+            .select("doc_id", F.col("d.xid").alias("xid")).orderBy("doc_id"))
+
+
+def q_bl_rotate(spark, sf_dir):
+    return (_decoded(spark, "ROTATE")
+            .select("doc_id", F.col("d.position").alias("position"),
+                    F.col("d.next_binlog").alias("next_binlog"))
+            .orderBy("doc_id"))
+
+
+def q_bl_intvar(spark, sf_dir):
+    return (_decoded(spark, "INTVAR")
+            .select("doc_id", F.col("d.e_type").alias("e_type"),
+                    F.col("d.value").alias("value")).orderBy("doc_id"))
+
+
+def q_bl_rand(spark, sf_dir):
+    return (_decoded(spark, "RAND")
+            .select("doc_id", F.col("d.seed1").alias("seed1"),
+                    F.col("d.seed2").alias("seed2")).orderBy("doc_id"))
+
+
+def q_bl_gtid(spark, sf_dir):
+    out = []
+    for sink in ("GTID", "ANON_GTID"):
+        out.append(_decoded(spark, sink).select(
+            "doc_id", F.lit(sink).alias("sink"),
+            F.col("d.rbr_only").cast("int").alias("rbr_only"),
+            F.col("d.source_id").alias("source_id"),
+            F.col("d.transaction_id").alias("transaction_id"),
+            F.col("d.ts_type").cast("long").alias("ts_type"),
+            F.col("d.last_committed").alias("last_committed"),
+            F.col("d.sequence_number").alias("sequence_number"),
+        ))
+    return out[0].unionByName(out[1]).orderBy("doc_id")
+
+
+def q_bl_rows_query(spark, sf_dir):
+    return (_decoded(spark, "ROWS_QUERY").select(
+        "doc_id",
+        F.col("d.length").cast("long").alias("length"),
+        F.col("d.query_text").alias("query_text"),
+        parse.statement_kind(F.col("d.query_text")).alias("statement_kind"),
+    ).orderBy("doc_id"))
+
+
+def q_bl_query(spark, sf_dir):
+    return (_decoded(spark, "QUERY").select(
+        "doc_id",
+        F.col("d.slave_proxy_id").alias("slave_proxy_id"),
+        F.col("d.execution_time").alias("execution_time"),
+        F.col("d.schema_length").cast("long").alias("schema_length"),
+        F.col("d.error_code").cast("long").alias("error_code"),
+        F.col("d.status_vars_length").cast("long").alias("status_vars_length"),
+        F.col("d.schema").alias("schema_name"),
+        F.col("d.query").alias("query"),
+        parse.statement_kind(F.col("d.query")).alias("statement_kind"),
+    ).orderBy("doc_id"))
+
+
+def q_bl_format_desc(spark, sf_dir):
+    return (_decoded(spark, "FORMAT_DESC").select(
+        "doc_id",
+        F.col("d.binlog_version").cast("long").alias("binlog_version"),
+        F.col("d.mysql_server_version").alias("mysql_server_version"),
+        F.col("d.create_timestamp").alias("create_timestamp"),
+        F.col("d.event_header_length").cast("long").alias("event_header_length"),
+        F.col("d.checksum_alg").cast("long").alias("checksum_alg"),
+    ).orderBy("doc_id"))
+
+
+def q_bl_user_var(spark, sf_dir):
+    return (_decoded(spark, "USER_VAR").select(
+        "doc_id",
+        F.col("d.name").alias("name"),
+        F.col("d.is_null").cast("int").alias("is_null"),
+        F.col("d.d_type").alias("d_type"),
+        F.col("d.charset").alias("charset"),
+        F.array_join(F.col("d.value"), ",").alias("value_csv"),
+    ).orderBy("doc_id"))
+
+
+def q_bl_tablemap(spark, sf_dir):
+    return (_decoded(spark, "TABLE_MAP").select(
+        "doc_id",
+        F.col("d.table_id").alias("table_id"),
+        F.col("d.schema_name").alias("schema_name"),
+        F.col("d.table_name").alias("table_name"),
+        F.col("d.column_count").cast("long").alias("column_count"),
+        F.array_join(F.col("d.null_bits"), ",").alias("null_bits_csv"),
+    ).orderBy("doc_id"))
+
+
+def q_bl_source_type_stats(spark, sf_dir):
+    return agg.source_type_stats(_fixture_df(spark)).select(
+        "source", "sink", "n",
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+        F.col("min_tok").cast("long").alias("min_tok"),
+        F.col("max_tok").cast("long").alias("max_tok"),
+        "avg_tok",
+    )
+
+
+def q_bl_desc_report(spark, sf_dir):
+    df = _fixture_df(spark)
+    fd = _decoded(spark, "FORMAT_DESC").select(
+        "source", "log_pos",
+        F.col("d.binlog_version").cast("long").alias("binlog_version"),
+        F.col("d.mysql_server_version").alias("mysql_server_version"),
+        F.col("d.create_timestamp").alias("create_timestamp"))
+    return agg.desc_report(df, fd)
+
+
+def q_bl_enrich_dim(spark, sf_dir):
+    """The table-map broadcast dimension itself (enrich stage output)."""
+    tm = _decoded(spark, "TABLE_MAP").select("source", "log_pos", "d.*")
+    dim = enrich.build_table_map_dim(tm.filter(F.col("parse_error").isNull()))
+    return dim.select(
+        "source", "table_id", "schema_name", "table_name",
+        F.col("column_count").cast("long").alias("column_count"),
+        F.size("columns_type").cast("long").alias("n_column_defs"),
+    ).orderBy("source", "table_id")
+
+
+# --- events-table analogs ---------------------------------------------------
+
+def q_ev_type_counts(spark, sf_dir):
+    return (_tbl(spark, sf_dir, "events").groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("sum_value"))
+            .orderBy("event_type"))
+
+
+def q_ev_minute_rollup(spark, sf_dir):
+    return (_tbl(spark, sf_dir, "events")
+            .withColumn("minute_epoch",
+                        F.unix_timestamp(F.date_trunc("minute", "ts")))
+            .groupBy("minute_epoch", "event_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("minute_epoch", "event_type"))
+
+
+def q_ev_top_users(spark, sf_dir):
+    return (_tbl(spark, sf_dir, "events").groupBy("user_id")
+            .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_value"),
+                 F.count("*").alias("n"))
+            .orderBy(F.col("total_value").desc(), F.col("user_id"))
+            .limit(20))
+
+
+def q_ev_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user — the
+    stateful-stream analog expressed with batch window functions."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = ev.withColumn("new_sess",
+                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (s.groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+# --- TPC-H-ish engine capability checks -------------------------------------
+
+def q_tpch_pricing(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_tpch_top_customers(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_spend"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.col("total_spend").desc(), "c_custkey").limit(10))
+
+
+def q_tpch_region_revenue(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    na = _tbl(spark, sf_dir, "nation")
+    re = _tbl(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+            .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+            .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("r_name"))
+
+
+# --- training-data ops -------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf_dir):
+    return textops.exact_dedup(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    return textops.token_stats(_tbl(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"))
+
+
+def q_doc_quality(spark, sf_dir):
+    return textops.quality(_tbl(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        "punct_ratio", "stopword_ratio", "distinct_token_ratio")
+
+
+def q_doc_langid(spark, sf_dir):
+    return textops.langid(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_simhash(spark, sf_dir):
+    return textops.simhash(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_minhash_sig(spark, sf_dir):
+    return textops.minhash_signature(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_neardup_minhash(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"), 0.5)
+
+
+def q_doc_neardup_jaccard(spark, sf_dir):
+    return textops.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), 0.6)
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    return vecops.cosine_topk(_tbl(spark, sf_dir, "embeddings"), 5, 10)
+
+
+def q_emb_lsh_ann(spark, sf_dir):
+    return vecops.signbit_lsh_ann(_tbl(spark, sf_dir, "embeddings"), 4, 3)
+
+
+def q_emb_neardup(spark, sf_dir):
+    return vecops.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), 0.35, 2)
+
+
+# --- non-SQL-expressible (rows-only driver check) ----------------------------
+
+def q_bl_rows_decode(spark, sf_dir):
+    """Row-image cell decode, flattened: cross-event broadcast enrich +
+    variable-layout cell decode — not expressible in ANSI SQL (driver
+    records the weaker rows-only check; pytest holds the field goldens)."""
+    df = _fixture_df(spark)
+    tm = _decoded(spark, "TABLE_MAP").select("source", "log_pos", "d.*")
+    dim = enrich.build_table_map_dim(tm.filter(F.col("parse_error").isNull()))
+    outs = []
+    for sink, n_images in (("WRITE_ROWS_V2", 1), ("UPDATE_ROWS_V2", 2),
+                           ("DELETE_ROWS_V2", 1)):
+        sub = df.filter(F.col("sink") == sink).withColumn(
+            "table_id", layout.u48le(F.col("tokens"), 19))
+        joined = enrich.enrich_rows_events(sub, dim)
+        dec = joined.withColumn(
+            "d", parse.make_rows_udf(n_images)(F.col("tokens"),
+                                               F.col("columns_type")))
+        outs.append(dec.select(
+            "doc_id", F.lit(sink).alias("sink"),
+            F.col("d.table_id").alias("table_id"),
+            F.col("d.column_count").alias("column_count"),
+            F.posexplode(F.col("d.rows")).alias("image_idx", "cells")))
+    u = outs[0]
+    for x in outs[1:]:
+        u = u.unionByName(x)
+    return (u.select(
+        "doc_id", "sink", "table_id", "column_count", "image_idx",
+        F.posexplode("cells").alias("col_idx", "cell"))
+        .select("doc_id", "sink", "table_id", "column_count", "image_idx",
+                "col_idx", F.col("cell.kind").alias("kind"),
+                F.array_join(F.col("cell.bytes"), ",").alias("bytes_csv"),
+                F.col("cell.num_val").alias("num_val"))
+        .orderBy("doc_id", "image_idx", "col_idx"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from binlogpipe import multimodal
+
+    return multimodal.feature_extract(
+        multimodal.synth_media_df(spark, _tbl(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→route→aggregate per-sink counts on the fixture
+    input (BASELINE.md §2 golden)."""
+    return agg.sink_counts(_fixture_df(spark))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bl_sink_counts": q_bl_sink_counts,
+        "bl_header_decode": q_bl_header_decode,
+        "bl_validate": q_bl_validate,
+        "bl_xid": q_bl_xid,
+        "bl_rotate": q_bl_rotate,
+        "bl_intvar": q_bl_intvar,
+        "bl_rand": q_bl_rand,
+        "bl_gtid": q_bl_gtid,
+        "bl_rows_query": q_bl_rows_query,
+        "bl_query": q_bl_query,
+        "bl_format_desc": q_bl_format_desc,
+        "bl_user_var": q_bl_user_var,
+        "bl_tablemap": q_bl_tablemap,
+        "bl_enrich_dim": q_bl_enrich_dim,
+        "bl_source_type_stats": q_bl_source_type_stats,
+        "bl_desc_report": q_bl_desc_report,
+        "bl_rows_decode": q_bl_rows_decode,
+        "ev_type_counts": q_ev_type_counts,
+        "ev_minute_rollup": q_ev_minute_rollup,
+        "ev_top_users": q_ev_top_users,
+        "ev_sessionize": q_ev_sessionize,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_top_customers": q_tpch_top_customers,
+        "tpch_region_revenue": q_tpch_region_revenue,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash": q_doc_simhash,
+        "doc_minhash_sig": q_doc_minhash_sig,
+        "doc_neardup_minhash": q_doc_neardup_minhash,
+        "doc_neardup_jaccard": q_doc_neardup_jaccard,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_neardup": q_emb_neardup,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sink = _sink_case_sql()
+    out: dict[str, str] = {}
+
+    out["bl_sink_counts"] = (
+        f"SELECT {sink} AS sink, count(*) AS n FROM {FX} "
+        f"GROUP BY 1 ORDER BY sink"
+    )
+
+    out["bl_header_decode"] = (
+        f"SELECT doc_id, {_u(0, 4)} AS ts_field, tokens[5]::BIGINT AS event_type, "
+        f"{_u(5, 4)} AS server_id, {_u(9, 4)} AS event_size, "
+        f"{_u(13, 4)} AS log_pos, {_u(17, 2)} AS flags, "
+        f"(tokens[n_tok-3]::BIGINT + tokens[n_tok-2]::BIGINT*256 + "
+        f"tokens[n_tok-1]::BIGINT*65536 + tokens[n_tok]::BIGINT*16777216) "
+        f"AS checksum FROM {FX} ORDER BY doc_id"
+    )
+
+    out["bl_validate"] = (
+        f"SELECT count(*) AS n_total, "
+        f"sum((n_tok::BIGINT = {_u(9, 4)})::BIGINT) AS n_valid_size, "
+        f"sum((tokens[1]=254 AND tokens[2]=98 AND tokens[3]=105 AND "
+        f"tokens[4]=110)::BIGINT) AS n_magic, "
+        f"sum(({sink} != 'QUARANTINE')::BIGINT) AS n_routed FROM {FX}"
+    )
+
+    out["bl_xid"] = (
+        f"SELECT doc_id, {_u(19, 8)} AS xid FROM {FX} "
+        f"WHERE tokens[5] = 16 ORDER BY doc_id"
+    )
+
+    out["bl_rotate"] = (
+        f"SELECT doc_id, {_u(19, 8)} AS position, "
+        f"{_chrcat('28', 'n_tok - 4')} AS next_binlog FROM {FX} "
+        f"WHERE tokens[5] = 4 ORDER BY doc_id"
+    )
+
+    out["bl_intvar"] = (
+        f"SELECT doc_id, CASE tokens[20] WHEN 0 THEN 'InvalidIntEvent' "
+        f"WHEN 1 THEN 'LastInsertIdEvent' WHEN 2 THEN 'InsertIdEvent' END "
+        f"AS e_type, {_u(20, 8)} AS value FROM {FX} "
+        f"WHERE tokens[5] = 5 ORDER BY doc_id"
+    )
+
+    out["bl_rand"] = (
+        f"SELECT doc_id, {_u(19, 8)} AS seed1, {_u(27, 8)} AS seed2 "
+        f"FROM {FX} WHERE tokens[5] = 13 ORDER BY doc_id"
+    )
+
+    dec_concat = ("array_to_string(list_transform(tokens[{a}:{b}], "
+                  "x -> x::VARCHAR), '')")
+    src_groups = [(21, 24), (25, 26), (27, 28), (29, 30), (31, 36)]
+    src_id = " || '-' || ".join(dec_concat.format(a=a, b=b) for a, b in src_groups)
+    out["bl_gtid"] = (
+        f"SELECT doc_id, CASE tokens[5] WHEN 33 THEN 'GTID' ELSE 'ANON_GTID' "
+        f"END AS sink, (tokens[20] = 0)::INT AS rbr_only, "
+        f"{src_id} AS source_id, {dec_concat.format(a=37, b=44)} AS "
+        f"transaction_id, tokens[45]::BIGINT AS ts_type, "
+        f"{_u(45, 8)} AS last_committed, {_u(53, 8)} AS sequence_number "
+        f"FROM {FX} WHERE tokens[5] IN (33, 34) ORDER BY doc_id"
+    )
+
+    rq_text = _chrcat("21", "20 + tokens[20]")
+    out["bl_rows_query"] = (
+        f"SELECT doc_id, tokens[20]::BIGINT AS length, {rq_text} AS query_text, "
+        f"{_stmt_kind_sql(rq_text)} AS statement_kind FROM {FX} "
+        f"WHERE tokens[5] = 29 ORDER BY doc_id"
+    )
+
+    # Query: svl = u16 @ offset 30 (0-based 11+19); schema at 19+13+svl
+    svl = _u(30, 2)
+    schema_len = "tokens[28]::BIGINT"
+    schema_start = f"(33 + {svl})"  # 1-indexed start of schema
+    q_start = f"({schema_start} + {schema_len} + 1)"
+    q_text = _extract_string_sql(q_start, "n_tok - 4")
+    out["bl_query"] = (
+        f"SELECT doc_id, {_u(19, 4)} AS slave_proxy_id, "
+        f"{_u(23, 4)} AS execution_time, {schema_len} AS schema_length, "
+        f"{_u(28, 2)} AS error_code, {svl} AS status_vars_length, "
+        f"{_chrcat(schema_start, f'{schema_start} + {schema_len} - 1')} AS "
+        f"schema_name, {q_text} AS query, {_stmt_kind_sql(q_text)} AS "
+        f"statement_kind FROM {FX} WHERE tokens[5] = 2 ORDER BY doc_id"
+    )
+
+    out["bl_format_desc"] = (
+        f"SELECT doc_id, {_u(19, 2)} AS binlog_version, "
+        f"{_extract_string_sql('22', '71')} AS mysql_server_version, "
+        f"{_u(71, 4)} AS create_timestamp, tokens[76]::BIGINT AS "
+        f"event_header_length, tokens[n_tok - 4]::BIGINT AS checksum_alg "
+        f"FROM {FX} WHERE tokens[5] = 15 ORDER BY doc_id"
+    )
+
+    # UserVar: name_len u32 @19; conditional tail
+    nl = _u(19, 4)
+    out["bl_user_var"] = (
+        f"SELECT doc_id, {_chrcat('24', f'23 + {nl}')} AS name, "
+        f"(tokens[24 + {nl}] = 1)::INT AS is_null, "
+        f"CASE WHEN tokens[24 + {nl}] = 1 THEN NULL ELSE "
+        f"(CASE tokens[25 + {nl}] WHEN 0 THEN 'STRING' WHEN 1 THEN 'REAL' "
+        f"WHEN 2 THEN 'INT' WHEN 3 THEN 'ROW' WHEN 4 THEN 'DECIMAL' "
+        f"WHEN 5 THEN 'VALUE_TYPE_COUNT' ELSE 'Unknown' END) END AS d_type, "
+        f"CASE WHEN tokens[24 + {nl}] = 1 THEN NULL ELSE "
+        f"(tokens[26 + {nl}]::BIGINT + tokens[27 + {nl}]::BIGINT*256 + "
+        f"tokens[28 + {nl}]::BIGINT*65536 + tokens[29 + {nl}]::BIGINT*16777216) "
+        f"END AS charset, "
+        f"CASE WHEN tokens[24 + {nl}] = 1 THEN NULL ELSE array_to_string("
+        f"tokens[(34 + {nl})::INT : (33 + {nl} + tokens[30 + {nl}]::BIGINT + "
+        f"tokens[31 + {nl}]::BIGINT*256 + tokens[32 + {nl}]::BIGINT*65536 + "
+        f"tokens[33 + {nl}]::BIGINT*16777216)::INT], ',') END AS value_csv "
+        f"FROM {FX} WHERE tokens[5] = 14 ORDER BY doc_id"
+    )
+
+    # TableMap (fixtures: lenenc column_count < 0xfb -> 1 byte; null_bits
+    # length = (cc+7)/8)
+    sl = "tokens[28]::BIGINT"  # schema_length @ 0-based 27
+    tno = f"(30 + {sl})"       # 1-indexed pos of table_name_length byte
+    tnl = f"tokens[{tno}]::BIGINT"
+    cco = f"({tno} + 1 + {tnl} + 1)"  # 1-indexed pos of lenenc column_count
+    cc = f"tokens[{cco}]::BIGINT"
+    out["bl_tablemap"] = (
+        f"SELECT doc_id, {_u(19, 6)} AS table_id, "
+        f"{_chrcat('29', f'28 + {sl}')} AS schema_name, "
+        f"{_chrcat(f'{tno} + 1', f'{tno} + {tnl}')} AS table_name, "
+        f"{cc} AS column_count, "
+        f"array_to_string(tokens[(n_tok - 4 - ((({cc}) + 7) // 8) + 1)::INT : "
+        f"(n_tok - 4)::INT], ',') AS null_bits_csv "
+        f"FROM {FX} WHERE tokens[5] = 19 ORDER BY doc_id"
+    )
+
+    out["bl_source_type_stats"] = (
+        f"SELECT source, {sink} AS sink, count(*) AS n, "
+        f"sum(n_tok)::BIGINT AS sum_tok, min(n_tok)::BIGINT AS min_tok, "
+        f"max(n_tok)::BIGINT AS max_tok, round(avg(n_tok), 4) AS avg_tok "
+        f"FROM {FX} GROUP BY 1, 2 ORDER BY source, sink"
+    )
+
+    out["bl_desc_report"] = (
+        f"WITH t AS (SELECT source, count(*) AS n_events FROM {FX} GROUP BY 1), "
+        f"fd AS (SELECT source, {_u(19, 2)} AS binlog_version, "
+        f"{_extract_string_sql('22', '71')} AS mysql_server_version, "
+        f"{_u(71, 4)} AS create_timestamp, "
+        f"row_number() OVER (PARTITION BY source ORDER BY {_u(13, 4)}) AS rn "
+        f"FROM {FX} WHERE tokens[5] = 15) "
+        f"SELECT t.source, t.n_events, fd.binlog_version, "
+        f"fd.mysql_server_version, fd.create_timestamp FROM t "
+        f"LEFT JOIN fd ON t.source = fd.source AND fd.rn = 1 ORDER BY t.source"
+    )
+
+    # --- events analogs ---
+    out["ev_type_counts"] = (
+        "SELECT event_type, count(*) AS n, "
+        "round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value "
+        "FROM events GROUP BY 1 ORDER BY event_type"
+    )
+    out["ev_minute_rollup"] = (
+        "SELECT epoch(date_trunc('minute', ts))::BIGINT AS minute_epoch, "
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2 "
+        "ORDER BY minute_epoch, event_type"
+    )
+    out["ev_top_users"] = (
+        "SELECT user_id, round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE "
+        "AS total_value, count(*) AS n FROM events GROUP BY 1 "
+        "ORDER BY total_value DESC, user_id LIMIT 20"
+    )
+    out["ev_sessionize"] = (
+        "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) IS NULL OR "
+        "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
+        "> 1800 THEN 1 ELSE 0 END AS new_sess FROM events) "
+        "SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, "
+        "count(*) AS n_events FROM s GROUP BY 1 ORDER BY user_id"
+    )
+
+    # --- TPC-H-ish ---
+    out["tpch_pricing"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price, "
+        "count(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"
+    )
+    out["tpch_top_customers"] = (
+        "SELECT c_custkey, c_name, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_spend, "
+        "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey LIMIT 10"
+    )
+    out["tpch_region_revenue"] = (
+        "SELECT r_name, round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)"
+        "::DOUBLE AS revenue, count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY 1 ORDER BY r_name"
+    )
+
+    # --- training-data ops ---
+    fp = _FP_SQL.format(col="text")
+    out["doc_exact_dedup"] = (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, "
+        "count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash"
+    )
+    ws = _WS_TOKS_SQL.format(col="text")
+    out["doc_token_stats"] = (
+        f"SELECT doc_id, len({ws})::BIGINT AS n_ws_tokens, "
+        f"len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS "
+        f"n_word_tokens, length(text)::BIGINT AS n_chars_calc "
+        f"FROM documents ORDER BY doc_id"
+    )
+    out["doc_quality"] = (
+        f"SELECT doc_id, length(text)::BIGINT AS n_chars_calc, "
+        f"round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / "
+        f"greatest(length(text), 1), 6) AS punct_ratio, "
+        f"round(len(list_filter({ws}, t -> t IN ({_STOP_SQL})))::DOUBLE / "
+        f"greatest(len({ws}), 1), 6) AS stopword_ratio, "
+        f"round(len(list_distinct({ws}))::DOUBLE / greatest(len({ws}), 1), 6) "
+        f"AS distinct_token_ratio FROM documents ORDER BY doc_id"
+    )
+    lws = _WS_TOKS_SQL.format(col="lower(text)")
+    out["doc_langid"] = (
+        f"SELECT doc_id, round(len(list_filter({lws}, t -> t IN "
+        f"({_STOP_SQL})))::DOUBLE / greatest(len({lws}), 1), 6) AS en_score, "
+        f"CASE WHEN round(len(list_filter({lws}, t -> t IN ({_STOP_SQL})))"
+        f"::DOUBLE / greatest(len({lws}), 1), 6) >= 0.05 THEN 'en' "
+        f"ELSE 'unknown' END AS lang_pred FROM documents ORDER BY doc_id"
+    )
+    out["doc_fingerprint"] = (
+        f"SELECT doc_id, {fp} AS fingerprint FROM documents ORDER BY doc_id"
+    )
+
+    tok_hash_list = (
+        "list_transform(" + _WS_TOKS_SQL.format(col="text") + ", w -> "
+        "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w, "
+        "''), ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % "
+        f"{textops.FP_MOD}))"
+    )
+    bit_sums = ", ".join(
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(th, h -> "
+        f"CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT "
+        f"END)), (a, b) -> a + b) AS s{j}"
+        for j in range(32)
+    )
+    sim_assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(32)
+    )
+    out["doc_simhash"] = (
+        f"WITH t AS (SELECT doc_id, {tok_hash_list} AS th FROM documents), "
+        f"s AS (SELECT doc_id, {bit_sums} FROM t) "
+        f"SELECT doc_id, ({sim_assemble})::BIGINT AS simhash FROM s "
+        f"ORDER BY doc_id"
+    )
+
+    shingle = _SHINGLE_SQL.format(col="text")
+    mh_cols = ", ".join(
+        f"list_reduce(list_prepend({textops.MH_PRIME}::BIGINT, "
+        f"list_transform(sh, h -> (h * {a} + {b}) % {textops.MH_PRIME})), "
+        f"(a_, b_) -> least(a_, b_)) AS mh{j}"
+        for j, (a, b) in enumerate(textops.MINHASH_AB)
+    )
+    out["doc_minhash_sig"] = (
+        f"WITH s AS (SELECT doc_id, {shingle} AS sh FROM documents) "
+        f"SELECT doc_id, {mh_cols} FROM s ORDER BY doc_id"
+    )
+
+    band_rows = []
+    for b in range(textops.MINHASH_BANDS):
+        cols = [f"mh{b * textops.MINHASH_ROWS + r}::VARCHAR"
+                for r in range(textops.MINHASH_ROWS)]
+        key = " || '_' || ".join(cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    out["doc_neardup_minhash"] = (
+        f"WITH s AS (SELECT doc_id, {shingle} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, {mh_cols} FROM s), "
+        f"banded AS ({bands_sql}), "
+        f"cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        f"FROM banded l JOIN banded r ON l.band = r.band AND "
+        f"l.band_key = r.band_key AND l.doc_id < r.doc_id) "
+        f"SELECT doc_a, doc_b, round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard "
+        f"FROM cand JOIN s a ON cand.doc_a = a.doc_id "
+        f"JOIN s b ON cand.doc_b = b.doc_id "
+        f"WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5 "
+        f"ORDER BY doc_a, doc_b"
+    )
+
+    out["doc_neardup_jaccard"] = (
+        f"WITH s AS (SELECT doc_id, {shingle} AS sh FROM documents), "
+        f"inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM s), "
+        f"inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"a.n_sh AS na, b.n_sh AS nb, count(*) AS n_inter "
+        f"FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2, 3, 4) "
+        f"SELECT doc_a, doc_b, round(n_inter::DOUBLE / (na + nb - n_inter), 6) "
+        f"AS jaccard FROM inter "
+        f"WHERE n_inter::DOUBLE / (na + nb - n_inter) >= 0.6 "
+        f"ORDER BY doc_a, doc_b"
+    )
+
+    cos = _cos_sql("q.qv", "c.cv")
+    out["emb_cosine_topk"] = (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM "
+        f"embeddings WHERE vec_id < 10), "
+        f"c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS sim FROM c, q "
+        f"WHERE neighbor_id != query_id), "
+        f"ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
+        f"FROM scored) "
+        f"SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 6) "
+        f"AS sim FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"
+    )
+
+    bucket4 = (
+        "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8 + "
+        "(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4 + "
+        "(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2 + "
+        "(CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END))"
+    )
+    cos_ab = _cos_sql("a.qv", "b.cv")
+    out["emb_lsh_ann"] = (
+        f"WITH e AS (SELECT vec_id, embedding, {bucket4} AS bucket "
+        f"FROM embeddings), "
+        f"a AS (SELECT bucket, vec_id AS query_id, embedding AS qv FROM e), "
+        f"b AS (SELECT bucket, vec_id AS neighbor_id, embedding AS cv FROM e), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos_ab} AS sim "
+        f"FROM a JOIN b ON a.bucket = b.bucket AND query_id != neighbor_id), "
+        f"ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
+        f"FROM scored) "
+        f"SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 6) "
+        f"AS sim FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
+    )
+
+    bucket2 = (
+        "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 2 + "
+        "(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END))"
+    )
+    cos_pair = _cos_sql("a.va", "b.vb")
+    out["emb_neardup"] = (
+        f"WITH e AS (SELECT vec_id, embedding, {bucket2} AS bucket "
+        f"FROM embeddings), "
+        f"a AS (SELECT bucket, vec_id AS vec_a, embedding AS va FROM e), "
+        f"b AS (SELECT bucket, vec_id AS vec_b, embedding AS vb FROM e) "
+        f"SELECT vec_a, vec_b, round({cos_pair}, 6) AS sim "
+        f"FROM a JOIN b ON a.bucket = b.bucket AND vec_a < vec_b "
+        f"WHERE round({cos_pair}, 6) >= 0.35 ORDER BY vec_a, vec_b"
+    )
+
+    # full columns_type struct re-decode (variable-width lenenc + per-type
+    # metadata) is pytest-golden; the oracle checks the identity fields and
+    # per-(source, table_id) dedup semantics.
+    out["bl_enrich_dim"] = (
+        f"WITH tm AS (SELECT source, {_u(13, 4)} AS log_pos, "
+        f"{_u(19, 6)} AS table_id, {_chrcat('29', f'28 + {sl}')} AS "
+        f"schema_name, {_chrcat(f'{tno} + 1', f'{tno} + {tnl}')} AS table_name, "
+        f"{cc} AS column_count FROM {FX} WHERE tokens[5] = 19), "
+        f"dedup AS (SELECT *, row_number() OVER (PARTITION BY source, table_id "
+        f"ORDER BY log_pos DESC) AS rn FROM tm) "
+        f"SELECT source, table_id, schema_name, table_name, column_count, "
+        f"column_count AS n_column_defs FROM dedup WHERE rn = 1 "
+        f"ORDER BY source, table_id"
+    )
+
+    # bl_rows_decode and multimodal_features: non-SQL-expressible (stateful
+    # cross-event enrich + variable-layout decode; opaque-binary feature
+    # extraction) -> rows-only driver check.
+    return {k: v for k, v in out.items() if v is not None}

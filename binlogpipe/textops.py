@@ -1,0 +1,243 @@
+"""Training-data text operators over the `documents` table.
+
+Large-scale pipeline ops the engine needs beyond the reference's own
+operator set (task brief): exact + near dedup, text quality scoring,
+language-ID heuristic, token counting, document fingerprinting. Everything
+is built-in `pyspark.sql.functions` / SQL lambda expressions — fully
+JVM-side, no Python UDFs — so Catalyst keeps pushdown/codegen and the ops
+scale to the 100 TB tier. Each operator has a DuckDB-equivalent oracle in
+`__spark_entry__.oracle_sql` using the *same deterministic hash formulas*.
+
+Shared deterministic hash: polynomial rolling hash over character codes,
+h = (h*31 + ascii(c)) mod 1e9+7 — portable across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP_MOD = 1_000_000_007
+MH_PRIME = 2_147_483_647  # 2^31-1: keeps a*x+b within i64 in both engines
+
+# Deterministic MinHash coefficients (seeded; same constants are inlined in
+# the DuckDB oracle SQL).
+_rng = random.Random(42)
+MINHASH_AB: list[tuple[int, int]] = [
+    (_rng.randrange(1, MH_PRIME), _rng.randrange(0, MH_PRIME)) for _ in range(16)
+]
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+MINHASH_ROWS = 4
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _fp_expr(col: str = "text") -> str:
+    """Rolling-hash fingerprint as a Spark SQL expression string."""
+    return (
+        f"aggregate(transform(split({col}, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {FP_MOD})"
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic per-document rolling-hash fingerprint."""
+    return docs.select(
+        "doc_id", F.expr(_fp_expr()).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text with
+    the canonical (min) doc_id and copy count. Hash-groupBy gets map-side
+    partial aggregation; at scale the md5 key shards evenly (no skew)."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.encode(F.col("text"), "utf-8")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + word-ish regex tokens + chars."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).alias(
+            "n_word_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword ratios + a composite.
+    Mirrors the usual pretraining-filter heuristics (C4-style)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = r"split(trim(text), '\\s+')"
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+            / F.greatest(F.length("text"), F.lit(1)), 6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
+            / F.expr(f"greatest(size({toks}), 1)"), 6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.expr(f"size(array_distinct({toks}))")
+            / F.expr(f"greatest(size({toks}), 1)"), 6,
+        ).alias("distinct_token_ratio"),
+    ).orderBy("doc_id")
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: stopword-hit-rate score thresholded to a
+    prediction. (The testdata labels are synthetic; the contract is the
+    deterministic score, oracle-matched in SQL.)"""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = r"split(lower(trim(text)), '\\s+')"
+    score = F.round(
+        F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
+        / F.expr(f"greatest(size({toks}), 1)"), 6,
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("en_score"),
+        F.when(score >= 0.05, "en").otherwise("unknown").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# shingles / MinHash / SimHash / near-dup
+# ---------------------------------------------------------------------------
+
+def _shingle_expr(col: str = "text", n: int = 3) -> str:
+    """Distinct character n-gram shingles, each reduced to a rolling hash
+    (mod 2^31-1 so MinHash products stay in i64)."""
+    return (
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({col}) - {n - 1}, 1)),"
+        f"  i -> aggregate(transform(split(substring({col}, i, {n}), ''),"
+        f"       ch -> ascii(ch)), 0L, (acc, x) -> (acc * 31 + x) % {MH_PRIME})"
+        f"))"
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select("doc_id", F.expr(_shingle_expr(n=n)).alias("shingles"))
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """16-permutation MinHash signature over 3-gram shingle hashes.
+    min_j over shingles of (a_j*h + b_j) mod p — all JVM lambda exprs."""
+    sh = shingle_sets(docs)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(shingles, h -> (h * {a}L + {b}L) % {MH_PRIME}))"
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.select("doc_id", *sig_cols).orderBy("doc_id")
+
+
+def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH near-dup: band the 16-slot signature into 4 bands of 4,
+    bucket-join on (band, band signature), then verify candidates with exact
+    shingle Jaccard. The band join is the scale path — candidate generation
+    is an equi-join on band keys, never an all-pairs product."""
+    sig = minhash_signature(docs)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingle_sets(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b_ = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a").join(b_, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via an inverted shingle index:
+    explode distinct shingles, self-join on shingle (candidates = docs
+    sharing >=1 shingle, counted once via groupBy), then Jaccard from
+    |A∩B| / (|A|+|B|-|A∩B|). No cross join at any scale."""
+    sh = shingle_sets(docs).withColumn("n_sh", F.size("shingles"))
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh")
+    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word-token rolling hashes: bit_j = sign of
+    sum(+1/-1 per token according to bit j of the token hash)."""
+    tok_hash = (
+        r"transform(split(trim(text), '\\s+'), w -> "
+        f"aggregate(transform(split(w, ''), ch -> ascii(ch)), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {FP_MOD}))"
+    )
+    d = docs.select("doc_id", F.expr(tok_hash).alias("th"))
+    bit_sum = [
+        F.expr(
+            f"aggregate(th, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END))"
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    d = d.select("doc_id", *bit_sum)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return d.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
