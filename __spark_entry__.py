@@ -815,14 +815,18 @@ def oracle_sql() -> dict[str, str]:
 
     out["doc_neardup_jaccard"] = (
         f"WITH s AS (SELECT doc_id, {shingle} AS sh FROM documents), "
-        f"inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM s), "
-        f"inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        f"a.n_sh AS na, b.n_sh AS nb, count(*) AS n_inter "
-        f"FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id "
-        f"GROUP BY 1, 2, 3, 4) "
-        f"SELECT doc_a, doc_b, round(n_inter::DOUBLE / (na + nb - n_inter), 6) "
-        f"AS jaccard FROM inter "
-        f"WHERE n_inter::DOUBLE / (na + nb - n_inter) >= 0.6 "
+        f"inv AS (SELECT doc_id, unnest(sh) AS h FROM s), "
+        f"rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= "
+        f"(SELECT floor(0.2 * count(*))::BIGINT FROM documents)), "
+        f"inv_r AS (SELECT doc_id, inv.h FROM inv JOIN rare ON inv.h = rare.h), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM inv_r a JOIN inv_r b ON a.h = b.h AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, round(len(list_intersect(x.sh, y.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard "
+        f"FROM cand JOIN s x ON cand.doc_a = x.doc_id "
+        f"JOIN s y ON cand.doc_b = y.doc_id "
+        f"WHERE len(list_intersect(x.sh, y.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6 "
         f"ORDER BY doc_a, doc_b"
     )
 

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): runs the headline pipeline + queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric: end-to-end routed sequences/sec for the full
+parse→enrich→route→aggregate DAG over a deterministically synthesized
+input table scaled to the sf (sf0.1 ≈ 600k events; event-type skew of the
+reference fixtures preserved — BASELINE.md §2).
+
+Scaling evidence (BASELINE.json ≥0.8 N→4N rule, sandbox form): the same
+pipeline job runs at local[8] and local[32] on the same input; both
+throughputs and the efficiency (tput_32 / (4 * tput_8)) are reported here
+and written to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW_CORES", "8"))
+EVENTS_PER_SF = 30_000_000  # sf0.1 -> ~3M events (compute-dominant bench)
+
+QUERY_NAMES = [
+    "doc_exact_dedup", "doc_minhash_sig", "doc_neardup_minhash",
+    "doc_fingerprint", "emb_cosine_topk", "ev_minute_rollup",
+    "ev_sessionize", "tpch_pricing", "tpch_region_revenue",
+]
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def synth_input(sf: float) -> tuple[str, int]:
+    from tools import fixture_gen
+
+    factor = max(1, round(sf * EVENTS_PER_SF / 166))
+    path = Path(f"/tmp/binlogpipe_bench/input_f{factor}.parquet")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if not path.exists():
+        n = fixture_gen.write_synth_parquet(path, factor)
+    else:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(path).num_rows
+    return str(path), n
+
+
+def run_pipeline_at(cores: int, input_path: str, tag: str,
+                    warmup_path: str | None = None) -> dict:
+    from binlogpipe.job import run_pipeline
+    from binlogpipe.session import build_spark
+
+    out = f"/tmp/binlogpipe_bench/out_{tag}"
+    spark = build_spark(app=f"bench-{tag}", cores=cores)
+    try:
+        # warm the JVM + Python UDF workers (a small full-pipeline run) so
+        # the timed run measures steady-state throughput, not interpreter /
+        # import / codegen startup
+        spark.range(1000).selectExpr("sum(id)").collect()
+        if warmup_path:
+            shutil.rmtree(out + "_warm", ignore_errors=True)
+            run_pipeline(spark, warmup_path, out + "_warm",
+                         run_id="warm", resume=False, collect_metrics=False)
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        m = run_pipeline(spark, input_path, out, run_id=f"bench_{tag}",
+                         resume=False)
+        wall = time.time() - t0
+        m["bench_wall_sec"] = round(wall, 3)
+        return m
+    finally:
+        spark.stop()
+
+
+def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    from binlogpipe.session import build_spark
+
+    qs = entry_mod.queries()
+    spark = build_spark(app="bench-queries", cores=cores)
+    timings: dict[str, float] = {}
+    try:
+        spark.range(1000).selectExpr("sum(id)").collect()
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return timings
+
+
+def main() -> None:
+    from tools import fixture_gen
+
+    sf = parse_sf(SF_DIR)
+    input_path, n_rows = synth_input(sf)
+    warm_path = Path("/tmp/binlogpipe_bench/input_warm.parquet")
+    if not warm_path.exists():
+        fixture_gen.write_synth_parquet(warm_path, 60)
+
+    main_run = run_pipeline_at(CPUS, input_path, f"c{CPUS}", str(warm_path))
+    t_high = main_run["bench_wall_sec"]
+    tput_high = n_rows / t_high
+
+    low_run = run_pipeline_at(SCALE_LOW, input_path, f"c{SCALE_LOW}",
+                              str(warm_path))
+    t_low = low_run["bench_wall_sec"]
+    tput_low = n_rows / t_low
+    efficiency = tput_high / ((CPUS / SCALE_LOW) * tput_low)
+
+    query_secs = run_queries(SF_DIR, CPUS)
+
+    queries = {"pipeline_e2e": t_high}
+    for stage, info in main_run.get("stages", {}).items():
+        queries[f"pipeline_{stage}"] = info.get("wall_sec")
+    queries.update(query_secs)
+
+    result = {
+        "metric": "end-to-end routed sequences/sec (parse→enrich→route→aggregate)",
+        "value": round(t_high, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "rows": n_rows,
+        "throughput_seq_per_sec": round(tput_high, 1),
+        "scaling": {
+            "cores_low": SCALE_LOW, "cores_high": CPUS,
+            "wall_low_sec": round(t_low, 3), "wall_high_sec": round(t_high, 3),
+            "throughput_low": round(tput_low, 1),
+            "throughput_high": round(tput_high, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+
+    bench_md = REPO / "BENCH" / "BASELINE.md"
+    bench_md.parent.mkdir(exist_ok=True)
+    bench_md.write_text(f"""# BENCH baseline — measured on this sandbox
+
+Input: {n_rows:,} synthesized binlog events (fixture distribution, sf={sf}),
+full parse→enrich→route→aggregate DAG (typed sinks + aggregates + lineage).
+
+| cores (local[N]) | wall sec | routed seq/sec |
+|---|---|---|
+| {SCALE_LOW} | {t_low:.2f} | {tput_low:,.0f} |
+| {CPUS} | {t_high:.2f} | {tput_high:,.0f} |
+
+Scaling efficiency {SCALE_LOW}→{CPUS} cores
+(= tput_{CPUS} / ({CPUS // SCALE_LOW} × tput_{SCALE_LOW})): **{efficiency:.3f}**
+(gate: ≥ 0.8, BASELINE.json).
+
+Stage breakdown at {CPUS} cores (sec):
+{json.dumps({k: v.get('wall_sec') for k, v in main_run.get('stages', {}).items()})}
+
+Query timings at sf={sf} ({CPUS} cores, noop-write-forced, sec):
+{json.dumps(query_secs, indent=0)}
+
+Reference publishes no numbers (BASELINE.md §1); the operative comparison
+is this harness re-run per round (BENCH_r{{N}}.json).
+""")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,10 +35,16 @@ from pyspark.sql import functions as F
 from . import aggregate as agg
 from . import enrich, layout, lineage, parse, route
 
+# routed table stores tokens packed as binary (lossless; parquet
+# list<int32> encode was the dominant, non-scaling write cost) plus the
+# JVM-precomputed rows-event table_id join key
 ROUTED_COLS = [
-    "doc_id", "tokens", "n_tok", "source", "timestamp", "event_type",
-    "server_id", "event_size", "log_pos", "flags", "checksum", "sink", "salt",
+    "doc_id", "tokens_bin", "n_tok", "source", "timestamp", "event_type",
+    "server_id", "event_size", "log_pos", "flags", "checksum", "sink",
+    "salt", "rows_table_id",
 ]
+
+ROWS_SINKS = ("WRITE_ROWS_V2", "UPDATE_ROWS_V2", "DELETE_ROWS_V2")
 
 
 class Checkpoint:
@@ -94,6 +100,15 @@ def run_pipeline(
     if not (resume and ck.done("route")):
         t0 = time.time()
         hdr = parse.with_header(src)
+        hdr = hdr.withColumn(
+            "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
+        # rows events need their u48 table_id as the enrich join key; the
+        # array form is gone after packing, so compute it here (JVM expr,
+        # mod.rs:1182-1186)
+        hdr = hdr.withColumn(
+            "rows_table_id",
+            F.when(F.col("sink").isin(*ROWS_SINKS),
+                   layout.u48le(F.col("tokens"), 19)))
         obs = lineage.stage_observation("route")
         hdr = lineage.observe_counts(hdr, obs)
         routed_df = route.routed(hdr)
@@ -120,7 +135,7 @@ def run_pipeline(
         t0 = time.time()
         tm_sink = routed_df.filter(F.col("sink") == "TABLE_MAP")
         schema, udf_factory = parse.DECODERS["TABLE_MAP"]
-        tm = tm_sink.withColumn("d", udf_factory()(F.col("tokens")))
+        tm = tm_sink.withColumn("d", udf_factory()(F.col("tokens_bin")))
         tm_decoded = tm.select("source", "log_pos", "d.*")
         dim = enrich.build_table_map_dim(
             tm_decoded.filter(F.col("parse_error").isNull()))
@@ -133,28 +148,43 @@ def run_pipeline(
     if typed_sinks and not (resume and ck.done("decode")):
         t0 = time.time()
         present = [r["sink"] for r in routed_df.select("sink").distinct().collect()]
-        decoded_rows = 0
-        for sink in sorted(present):
+
+        # decode width per sink: 4 concurrent jobs x (cores/4)-wide tasks
+        # saturates the executor with far fewer Python workers than
+        # width=cores would (measured: fewer, bigger tasks beat many small
+        # ones — worker memory + spawn overhead dominates otherwise)
+        par = max(4, spark.sparkContext.defaultParallelism // 4)
+
+        def decode_one(sink: str) -> None:
+            # each write is an independent Spark job; running them from a
+            # thread pool lets the scheduler pipeline their stages instead
+            # of paying per-job fixed overhead serially
             sink_df = routed_df.filter(F.col("sink") == sink)
+            # the pruned read yields few, small files which the scan packs
+            # into 1-2 input splits — round-robin repartition restores
+            # Python-worker parallelism for the decode UDF (the shuffle is
+            # tiny next to the decode CPU)
+            if sink in layout.SALT_FACTORS:
+                sink_df = sink_df.repartition(par)
             tgt = str(out / "sinks" / sink)
-            base_cols = ["doc_id", "tokens", "n_tok", "source", "timestamp",
+            # typed sinks carry decoded fields + header; the raw bytes stay
+            # in the routed table (doc_id joins back) — except quarantine /
+            # header-only sinks, which keep the payload for reprocessing
+            base_cols = ["doc_id", "n_tok", "source", "timestamp",
                          "event_type", "server_id", "event_size", "log_pos",
                          "flags", "checksum"]
-            if sink in ("WRITE_ROWS_V2", "UPDATE_ROWS_V2", "DELETE_ROWS_V2"):
+            if sink in ROWS_SINKS:
                 n_images = 2 if sink == "UPDATE_ROWS_V2" else 1
-                # JVM-computed join key (u48 at offset 19, mod.rs:1182-1186)
-                sink_df = sink_df.withColumn(
-                    "join_table_id", layout.u48le(F.col("tokens"), 19))
-                joined = enrich.enrich_rows_events(
-                    sink_df.withColumnRenamed("join_table_id", "table_id"), dim)
+                sink_df = sink_df.withColumnRenamed("rows_table_id", "table_id")
+                joined = enrich.enrich_rows_events(sink_df, dim)
                 udf = parse.make_rows_udf(n_images)
                 dec = joined.withColumn(
-                    "d", udf(F.col("tokens"), F.col("columns_type")))
+                    "d", udf(F.col("tokens_bin"), F.col("columns_type")))
                 dec = dec.select(*base_cols, "tm_schema_name",
                                  "tm_table_name", "d.*")
             elif sink in parse.DECODERS:
                 schema, udf_factory = parse.DECODERS[sink]
-                dec = sink_df.withColumn("d", udf_factory()(F.col("tokens")))
+                dec = sink_df.withColumn("d", udf_factory()(F.col("tokens_bin")))
                 dec = dec.select(*base_cols, "d.*")
                 if sink in ("QUERY", "EXEC_LOAD_QUERY"):
                     dec = dec.withColumn(
@@ -164,21 +194,30 @@ def run_pipeline(
                         "statement_kind",
                         parse.statement_kind(F.col("query_text")))
             else:
-                # header-only sinks + quarantine keep raw tokens
-                dec = sink_df.select(*base_cols)
+                dec = sink_df.select(*base_cols, "tokens_bin")
             dec.write.mode("overwrite").parquet(tgt)
-            decoded_rows += spark.read.parquet(tgt).count()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # 4 concurrent jobs pipeline the small sinks behind the hot ones;
+        # more just thrashes the executor (measured: pool=4 7s, pool=8 17s,
+        # sequential 21s on the sf0.1 bench input)
+        with ThreadPoolExecutor(max_workers=min(4, len(present))) as pool:
+            list(pool.map(decode_one, sorted(present)))
         metrics["stages"]["decode"] = {
-            "wall_sec": round(time.time() - t0, 3), "rows": decoded_rows}
-        ck.mark("decode", rows=decoded_rows)
+            "wall_sec": round(time.time() - t0, 3), "sinks": len(present)}
+        ck.mark("decode", sinks=len(present))
 
     # ---- stage: aggregate ----
     if not (resume and ck.done("aggregate")):
         t0 = time.time()
-        agg.sink_counts(routed_df).write.mode("overwrite").parquet(
-            str(out / "agg" / "sink_counts"))
-        agg.source_type_stats(routed_df).write.mode("overwrite").parquet(
+        # one scan: per-(source, sink) stats; sink counts are a rollup of it
+        stats = agg.source_type_stats(routed_df)
+        stats.write.mode("overwrite").parquet(
             str(out / "agg" / "source_type_stats"))
+        stats_df = spark.read.parquet(str(out / "agg" / "source_type_stats"))
+        (stats_df.groupBy("sink").agg(F.sum("n").alias("n")).orderBy("sink")
+         .write.mode("overwrite").parquet(str(out / "agg" / "sink_counts")))
         metrics["stages"]["aggregate"] = {"wall_sec": round(time.time() - t0, 3)}
         ck.mark("aggregate")
 

@@ -106,7 +106,12 @@ def string_fixed(buf: bytes, off: int) -> tuple[int, str, int]:
 
 
 def tokens_to_bytes(arr) -> bytes:
-    """One row's array<int32> token column -> bytes."""
+    """One row's token column -> bytes. Polymorphic: accepts the contract
+    array<int32> form or the internal packed-binary form (the routed table
+    stores tokens as binary — parquet list<int32> encode is memory-bound
+    and ~3x the whole write cost; binary is lossless and fast)."""
+    if isinstance(arr, (bytes, bytearray)):
+        return bytes(arr)
     return np.asarray(arr, dtype=np.int64).astype(np.uint8).tobytes()
 
 

@@ -76,26 +76,134 @@ def _struct_with_error(fields: list[T.StructField]) -> T.StructType:
     return T.StructType(fields + [T.StructField("parse_error", T.StringType())])
 
 
-def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict]):
+def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict],
+             vectorized: Callable | None = None):
     """Wrap a per-event ``bytes -> dict`` decoder as an Arrow-batched pandas
     UDF returning ``schema`` (+ parse_error). The Python loop is per Arrow
-    batch, never per Spark row."""
+    batch, never per Spark row; records accumulate columnar (dict-of-lists —
+    pd.DataFrame from columns is several times faster than from row dicts).
+
+    `vectorized`, when given, is a whole-batch numpy fast path; it returns a
+    DataFrame or None to fall back to the loop (e.g. mixed event sizes)."""
     names = [f.name for f in schema.fields]
 
     @pandas_udf(schema)
     def udf(tokens: pd.Series) -> pd.DataFrame:
-        recs = []
+        if vectorized is not None:
+            out = vectorized(tokens)
+            if out is not None:
+                return out
+        cols: dict[str, list] = {n: [] for n in names}
         for t in tokens:
             try:
                 r = fn(c.tokens_to_bytes(t))
                 r["parse_error"] = None
             except Exception as e:  # noqa: BLE001 — quarantine, don't panic
-                r = {n: None for n in names}
+                r = dict.fromkeys(names)
                 r["parse_error"] = f"{type(e).__name__}: {e}"
-            recs.append(r)
-        return pd.DataFrame(recs, columns=names)
+            for n in names:
+                cols[n].append(r[n])
+        return pd.DataFrame(cols, columns=names)
 
     return udf
+
+
+def pack_tokens_udf():
+    """array<int32> -> packed binary (internal routed-table form). One
+    vectorized Arrow pass at route time; every downstream stage reads
+    binary, which writes/reads ~3x faster than parquet list<int32>."""
+
+    @pandas_udf(T.BinaryType())
+    def pack(tokens: pd.Series) -> pd.Series:
+        return tokens.map(c.tokens_to_bytes)
+
+    return pack
+
+
+def unpack_tokens_udf():
+    """packed binary -> array<int32> (for token-array equality checks and
+    any consumer that wants the contract form back)."""
+    import numpy as np
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def unpack(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: np.frombuffer(x, dtype=np.uint8).astype(np.int32))
+
+    return unpack
+
+
+# ---------------------------------------------------------------------------
+# whole-batch numpy fast paths for hot fixed-layout events
+# ---------------------------------------------------------------------------
+
+def _stack_fixed(tokens: pd.Series, size: int):
+    """(n, size) uint8-ish int64 matrix if every event is exactly `size`
+    bytes, else None (mixed sizes -> scalar fallback). Accepts array<int32>
+    rows or packed-binary rows."""
+    import numpy as np
+
+    arrs = tokens.values
+    if len(arrs) == 0:
+        return None
+    for a in arrs:
+        if len(a) != size:
+            return None
+    if isinstance(arrs[0], (bytes, bytearray)):
+        flat = np.frombuffer(b"".join(arrs), dtype=np.uint8)
+        return flat.astype(np.int64).reshape(len(arrs), size)
+    return np.stack([np.asarray(a, dtype=np.int64) for a in arrs])
+
+
+def _u64_col(m, off: int):
+    """Vectorized u64le -> int64 (two's-complement wraparound like the
+    reference's i64 reads)."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0], dtype=np.uint64)
+    for k in range(8):
+        acc += m[:, off + k].astype(np.uint64) << np.uint64(8 * k)
+    return acc.view(np.int64)
+
+
+def _gtid_vectorized(tokens: pd.Series):
+    """GTID/AnonymousGtid events are a fixed 65-byte layout
+    (19 hdr + 1 + 16 + 8 + 1 + 8 + 8 + 4 crc) — full matrix decode.
+
+    The decimal-rendered source_id/transaction_id strings are built per
+    *unique* (source_id ‖ txn_id) byte pattern and gathered back (dictionary
+    encoding): real binlogs have a handful of server uuids, so string
+    construction drops out of the per-row cost entirely."""
+    import numpy as np
+
+    m = _stack_fixed(tokens, 65)
+    if m is None:
+        return None
+    ids = np.ascontiguousarray(m[:, 20:44])
+    uniq, inv = np.unique(ids, axis=0, return_inverse=True)
+    src_u = np.empty(len(uniq), dtype=object)
+    txn_u = np.empty(len(uniq), dtype=object)
+    for i, row in enumerate(uniq):
+        b = bytes(int(x) for x in row)
+        src_u[i] = "-".join(
+            c.byte_decimal_concat(b[a:e])
+            for a, e in ((0, 4), (4, 6), (6, 8), (8, 10), (10, 16)))
+        txn_u[i] = c.byte_decimal_concat(b[16:24])
+    return pd.DataFrame({
+        "rbr_only": m[:, 19] == 0,
+        "source_id": src_u[inv],
+        "transaction_id": txn_u[inv],
+        "ts_type": m[:, 44].astype(np.int32),
+        "last_committed": _u64_col(m, 45),
+        "sequence_number": _u64_col(m, 53),
+        "parse_error": None,
+    })
+
+
+def _xid_vectorized(tokens: pd.Series):
+    m = _stack_fixed(tokens, 31)  # 19 + 8 + 4
+    if m is None:
+        return None
+    return pd.DataFrame({"xid": _u64_col(m, 19), "parse_error": None})
 
 
 # ---------------------------------------------------------------------------
@@ -851,7 +959,8 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
     "USER_VAR": (USER_VAR_SCHEMA, _simple(USER_VAR_SCHEMA, decode_user_var_py)),
     "FORMAT_DESC": (FORMAT_DESC_SCHEMA,
                     _simple(FORMAT_DESC_SCHEMA, decode_format_desc_py)),
-    "XID": (XID_SCHEMA, _simple(XID_SCHEMA, decode_xid_py)),
+    "XID": (XID_SCHEMA,
+            lambda: _rowwise(XID_SCHEMA, decode_xid_py, _xid_vectorized)),
     "BEGIN_LOAD_QUERY": (FILE_DATA_SCHEMA,
                          _simple(FILE_DATA_SCHEMA, decode_file_data_py)),
     "CREATE_FILE": (FILE_DATA_SCHEMA,
@@ -870,8 +979,10 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
     "INCIDENT": (INCIDENT_SCHEMA, _simple(INCIDENT_SCHEMA, decode_incident_py)),
     "ROWS_QUERY": (ROWS_QUERY_SCHEMA,
                    _simple(ROWS_QUERY_SCHEMA, decode_rows_query_py)),
-    "GTID": (GTID_SCHEMA, _simple(GTID_SCHEMA, _gtid_fields)),
-    "ANON_GTID": (GTID_SCHEMA, _simple(GTID_SCHEMA, _gtid_fields)),
+    "GTID": (GTID_SCHEMA,
+             lambda: _rowwise(GTID_SCHEMA, _gtid_fields, _gtid_vectorized)),
+    "ANON_GTID": (GTID_SCHEMA,
+                  lambda: _rowwise(GTID_SCHEMA, _gtid_fields, _gtid_vectorized)),
     "PREV_GTIDS": (PREV_GTIDS_SCHEMA,
                    _simple(PREV_GTIDS_SCHEMA, decode_previous_gtids_py)),
     "LOAD": (LOAD_SCHEMA, _simple(LOAD_SCHEMA, decode_load_py)),

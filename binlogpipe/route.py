@@ -33,8 +33,14 @@ def routed(df_with_header: DataFrame, shuffle_partitions: int | None = None) -> 
 
     One shuffle total for the whole fan-out; per-type typed decodes then
     read partition-pruned slices of the routed table.
+
+    The partition count is explicit: with a bare `repartition(cols)` AQE
+    coalesces the exchange toward the advisory size (~64 MB) and collapses
+    write parallelism (measured 4 tasks for a 240 MB shuffle — 8x
+    under-parallelized on 32 cores). An explicit N pins the fan-out width.
     """
     df = df_with_header.withColumn("salt", salt_expr())
-    if shuffle_partitions:
-        return df.repartition(shuffle_partitions, "sink", "salt")
-    return df.repartition("sink", "salt")
+    if shuffle_partitions is None:
+        sc = df.sparkSession.sparkContext
+        shuffle_partitions = max(sc.defaultParallelism * 2, 32)
+    return df.repartition(shuffle_partitions, "sink", "salt")

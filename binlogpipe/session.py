@@ -26,9 +26,12 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # 10g: large heaps measured multi-second G1 pauses under Arrow +
+        # parquet churn; smaller heap keeps pauses short and stable
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "10g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

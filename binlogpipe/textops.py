@@ -193,25 +193,37 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via an inverted shingle index:
-    explode distinct shingles, self-join on shingle (candidates = docs
-    sharing >=1 shingle, counted once via groupBy), then Jaccard from
-    |A∩B| / (|A|+|B|-|A∩B|). No cross join at any scale."""
-    sh = shingle_sets(docs).withColumn("n_sh", F.size("shingles"))
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
-    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh")
-    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("n_inter"))
-    )
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
+                        max_df: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via an inverted shingle index.
+
+    Candidate generation drops shingles whose document frequency exceeds
+    `max_df` (stop-shingle removal) — without it the per-shingle self-join
+    is quadratic in the hottest shingle's df and melts at scale. Jaccard on
+    surviving candidates is then EXACT over the *full* shingle sets
+    (array_intersect/union), so the df cap only bounds recall, never
+    precision. The oracle applies the identical cap."""
+    sh = shingle_sets(docs)
+    inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    n_docs = docs.count()
+    rare = (inv.groupBy("sh").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= int(max_df * n_docs))
+            .select("sh"))
+    inv_r = inv.join(rare, "sh")
+    a = inv_r.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = inv_r.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (a.join(b, "sh").where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        inter.withColumn(
+        cand.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 6,
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

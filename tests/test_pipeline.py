@@ -29,15 +29,20 @@ def test_per_sink_counts_exact(spark, pipeline_out):
 
 
 def test_routed_token_array_equality(spark, pipeline_out):
-    """Routed rows must carry token arrays byte-identical to the fixture
+    """Routed rows must carry token content byte-identical to the fixture
     events (BASELINE.json 'token-array equality'), compared sorted by
-    doc_id."""
+    doc_id. The routed table packs tokens as binary (lossless); the check
+    unpacks back to the contract array form."""
+    from binlogpipe import parse
+
     expected = {
         doc_id: list(ev) for doc_id, _, ev in fixture_gen.load_fixture_events()
     }
     routed = (
         spark.read.parquet(f"{pipeline_out['out']}/routed")
-        .select("doc_id", "tokens").collect()
+        .select("doc_id",
+                parse.unpack_tokens_udf()(F.col("tokens_bin")).alias("tokens"))
+        .collect()
     )
     assert len(routed) == len(expected)
     for r in sorted(routed, key=lambda x: x["doc_id"]):

@@ -102,7 +102,7 @@ def synthesize(rows: list[tuple[str, str, bytes]], factor: int, seed: int = 42):
 
 
 def write_synth_parquet(path: Path, factor: int, seed: int = 42,
-                        row_group_size: int = 200_000) -> int:
+                        row_group_size: int = 25_000) -> int:
     rows = load_fixture_events()
     doc, src, tok = synthesize(rows, factor, seed)
     table = pa.table(
