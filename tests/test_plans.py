@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the plans must stay the shape we designed for
+100 TB — broadcast enrich join (no shuffle of the big side), partition
+pruning on the routed table, column pruning into the parquet scan, and no
+Python in the route/aggregate hot path."""
+
+from pyspark.sql import functions as F
+
+from binlogpipe import enrich, layout, parse
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_join_is_broadcast(spark, pipeline_out):
+    routed = spark.read.parquet(f"{pipeline_out['out']}/routed")
+    dim = spark.read.parquet(f"{pipeline_out['out']}/table_map_dim")
+    rows = routed.filter(F.col("sink") == "WRITE_ROWS_V2").withColumnRenamed(
+        "rows_table_id", "table_id")
+    joined = enrich.enrich_rows_events(rows, dim)
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routed_read_partition_prunes(spark, pipeline_out):
+    routed = spark.read.parquet(f"{pipeline_out['out']}/routed")
+    pruned = routed.filter(F.col("sink") == "XID")
+    plan = _plan(pruned)
+    # partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "XID" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, fixture_parquet):
+    df = spark.read.parquet(fixture_parquet).select("doc_id", "n_tok")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in read_schema, read_schema
+
+
+def test_route_hot_path_is_jvm_only(spark, fixture_parquet):
+    """Header decode + sink routing + aggregation contain no Python
+    evaluation (BASELINE.json: zero per-row Python; UDFs only in payload
+    decode)."""
+    hdr = parse.with_header(spark.read.parquet(fixture_parquet))
+    counts = hdr.groupBy("sink").count()
+    counts.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = _plan(counts)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                   "MapInPandas"):
+        assert marker not in plan, f"{marker} in hot path:\n{plan}"
+    assert "WholeStageCodegen" in plan
+
+
+def test_salt_spreads_hot_types(spark, fixture_parquet):
+    """Hot event types fan out across salt values (skew defense)."""
+    from binlogpipe import route
+
+    hdr = parse.with_header(spark.read.parquet(fixture_parquet))
+    salted = hdr.withColumn("salt", route.salt_expr())
+    q = (salted.filter(F.col("sink") == "QUERY")
+         .select("salt").distinct().count())
+    assert q > 1  # 38 QUERY events spread over >1 of 16 salt buckets
+    bad = salted.filter(
+        F.col("salt") >= layout.SALT_FACTORS.get("QUERY", 16)).filter(
+        F.col("sink") == "QUERY").count()
+    assert bad == 0

@@ -1,0 +1,99 @@
+"""Training-data ops: positive-detection tests on crafted inputs (the
+sf-table oracle parity lives in test_oracle_parity; these prove the ops
+actually find what they claim to find)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlogpipe import multimodal, textops, vecops
+
+
+@pytest.fixture(scope="module")
+def crafted_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from a warm windowsill in the afternoon sun")
+    near = base.replace("afternoon", "evening")
+    far = "completely different content about spark shuffle partitions etc"
+    return spark.createDataFrame(
+        [(0, base, "src"), (1, base, "src"), (2, near, "src"), (3, far, "src")],
+        "doc_id long, text string, source string",
+    ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+
+
+def test_exact_dedup_finds_copies(crafted_docs):
+    out = textops.exact_dedup(crafted_docs).collect()
+    dupes = [r for r in out if r["n_copies"] > 1]
+    assert len(dupes) == 1 and dupes[0]["n_copies"] == 2
+    assert dupes[0]["canonical_doc_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dup(crafted_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in textops.minhash_lsh_pairs(crafted_docs, 0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact copies
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.8  # one-word edit
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(crafted_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in textops.ngram_jaccard_pairs(crafted_docs, 0.6,
+                                                  max_df=0.9).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) in pairs
+    assert all(3 not in k for k in pairs)
+
+
+def test_simhash_near_for_near_dups(crafted_docs):
+    sims = {r["doc_id"]: r["simhash"] for r in textops.simhash(crafted_docs).collect()}
+    assert sims[0] == sims[1]
+    ham_near = bin(sims[0] ^ sims[2]).count("1")
+    ham_far = bin(sims[0] ^ sims[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_fingerprint_distinguishes(crafted_docs):
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in textops.fingerprint(crafted_docs).collect()}
+    assert fps[0] == fps[1] != fps[3]
+
+
+def test_langid_scores_stopworded_text(crafted_docs):
+    out = {r["doc_id"]: r for r in textops.langid(crafted_docs).collect()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[0]["en_score"] > out[3]["en_score"]
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.99, 0.1, 0.0, 0.0], 0),
+            (2, [0.0, 1.0, 0.0, 0.0], 1), (3, [-1.0, 0.0, 0.0, 0.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    top = vecops.cosine_topk(emb, k=1, n_queries=1).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 1
+    ann = vecops.signbit_lsh_ann(emb, bits=2, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in ann}
+    assert got[0] == 1  # same bucket, most similar
+
+
+def test_multimodal_plumbing(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} with some bytes", "src", 30 + i)
+         for i in range(7)],
+        "doc_id long, text string, source string, n_chars long")
+    media = multimodal.synth_media_df(spark, docs)
+    feats = multimodal.feature_extract(media)
+    rows = feats.collect()
+    assert len(rows) == 7
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    by_id = {r["media_id"]: r for r in rows}
+    assert all(r["n_bytes"] > 0 and r["content_digest"] for r in rows)
+    videos = [r for r in rows if r["kind"] == "video"]
+    assert all(r["n_frames_sampled"] == 4 for r in videos)
+    # deterministic fake decode: same payload -> same features
+    feats2 = multimodal.feature_extract(media).collect()
+    assert {r["media_id"]: r["feat_mean"] for r in feats2} == {
+        r["media_id"]: r["feat_mean"] for r in rows}
+    # the real codec hook is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image")

@@ -79,42 +79,57 @@ def rows_to_table(rows: list[tuple[str, str, bytes]]) -> pa.Table:
     )
 
 
-def synthesize(rows: list[tuple[str, str, bytes]], factor: int, seed: int = 42):
-    """Deterministic scale-up: `factor` copies of every fixture event with
-    seeded header perturbation (timestamp/server_id/log_pos only)."""
-    rng = np.random.default_rng(seed)
-    base = [(src, np.frombuffer(ev, np.uint8).copy()) for _, src, ev in rows]
-    out_doc, out_src, out_tok = [], [], []
-    for rep in range(factor):
-        # one draw per (rep, event): cheap vectorized randoms
-        ts_jit = rng.integers(0, 2**31, len(base), dtype=np.int64)
-        sid = rng.integers(1, 2**31, len(base), dtype=np.int64)
-        pos = rng.integers(4, 2**31, len(base), dtype=np.int64)
-        for j, (src, ev) in enumerate(base):
-            b = ev.copy()
-            b[0:4] = np.frombuffer(struct.pack("<I", int(ts_jit[j])), np.uint8)
-            b[5:9] = np.frombuffer(struct.pack("<I", int(sid[j])), np.uint8)
-            b[13:17] = np.frombuffer(struct.pack("<I", int(pos[j])), np.uint8)
-            out_doc.append(f"{src}/r{rep}/{j}")
-            out_src.append(src)
-            out_tok.append(b.astype(np.int32))
-    return out_doc, out_src, out_tok
-
-
 def write_synth_parquet(path: Path, factor: int, seed: int = 42,
                         row_group_size: int = 25_000) -> int:
+    """Deterministic scale-up: `factor` copies of every fixture event with
+    seeded header perturbation (timestamp/server_id/log_pos bytes only —
+    payloads untouched so per-type decode goldens hold; event-type skew
+    preserved).
+
+    Fully vectorized: one flat byte buffer of all replicas with patched
+    header fields, turned into an Arrow list<int32> column zero-copy via
+    (offsets, values)."""
     rows = load_fixture_events()
-    doc, src, tok = synthesize(rows, factor, seed)
-    table = pa.table(
-        {
-            "doc_id": pa.array(doc, pa.string()),
-            "tokens": pa.array([t.tolist() for t in tok], pa.list_(pa.int32())),
-            "n_tok": pa.array([len(t) for t in tok], pa.int32()),
-            "source": pa.array(src, pa.string()),
-        }
-    )
+    rng = np.random.default_rng(seed)
+    base_flat = np.frombuffer(b"".join(ev for _, _, ev in rows), np.uint8)
+    lens = np.array([len(ev) for _, _, ev in rows], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    base_len = int(lens.sum())
+    n_base = len(rows)
+    n_total = n_base * factor
+
+    flat = np.tile(base_flat, factor).astype(np.int64)
+    # per-replica random header fields, little-endian patched in bulk
+    ev_starts = (np.tile(starts, factor)
+                 + np.repeat(np.arange(factor, dtype=np.int64), n_base) * base_len)
+    for field_off, vals in (
+        (0, rng.integers(0, 2**31, n_total, dtype=np.int64)),    # timestamp
+        (5, rng.integers(1, 2**31, n_total, dtype=np.int64)),    # server_id
+        (13, rng.integers(4, 2**31, n_total, dtype=np.int64)),   # log_pos
+    ):
+        for k in range(4):
+            flat[ev_starts + field_off + k] = (vals >> (8 * k)) & 0xFF
+
+    all_lens = np.tile(lens, factor)
+    offsets = np.concatenate(([0], np.cumsum(all_lens))).astype(np.int64)
+    tokens_col = pa.LargeListArray.from_arrays(
+        pa.array(offsets), pa.array(flat.astype(np.int32)))
+    tokens_col = tokens_col.cast(pa.list_(pa.int32()))
+
+    srcs = [src for _, src, _ in rows]
+    idx = [f"{src}/{j}" for j, src in enumerate(srcs)]
+    doc_ids = [f"{idx[j]}/r{rep}" for rep in range(factor) for j in range(n_base)]
+    source_col = pa.DictionaryArray.from_arrays(
+        pa.array(np.tile(np.arange(n_base, dtype=np.int32), factor)),
+        pa.array(srcs)).cast(pa.string())
+    table = pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "tokens": tokens_col,
+        "n_tok": pa.array(all_lens.astype(np.int32)),
+        "source": source_col,
+    })
     pq.write_table(table, path, row_group_size=row_group_size)
-    return len(doc)
+    return n_total
 
 
 def golden_sink_counts(rows) -> Counter:
