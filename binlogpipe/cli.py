@@ -1,0 +1,74 @@
+"""CLI analog of the reference's `bcrab` commands
+(`/root/reference/crates/old/src/cli.rs:13-161`), Spark-first:
+
+  trans <input parquet> <out dir> [--format json]   # cli.rs `trans`
+  desc  <input parquet>                             # cli.rs `desc`
+
+`trans` runs the full DAG to typed sinks (the Iceberg/parquet analog of the
+reference's serde JSON/YAML dump); `--format json` additionally writes a
+per-event JSON debug dump of the decoded sinks (debug utility only — the
+sinks are the real output). `desc` prints event counts + the first
+FormatDesc summary per source (cli.rs:143-161).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from . import aggregate as agg
+from . import job, parse
+from .session import build_spark
+
+
+def cmd_trans(args) -> None:
+    spark = build_spark(app="binlogpipe-trans")
+    metrics = job.run_pipeline(spark, args.input, args.out,
+                               run_id=args.run_id, resume=not args.no_resume)
+    print(json.dumps(metrics, indent=1))
+    if args.format == "json":
+        dump_dir = Path(args.out) / "debug_json"
+        for sink_dir in sorted((Path(args.out) / "sinks").iterdir()):
+            df = spark.read.parquet(str(sink_dir))
+            (df.orderBy("doc_id").toJSON()
+             .saveAsTextFile(str(dump_dir / sink_dir.name)))
+        print(f"debug JSON dump at {dump_dir}")
+
+
+def cmd_desc(args) -> None:
+    spark = build_spark(app="binlogpipe-desc")
+    hdr = parse.with_header(spark.read.parquet(args.input))
+    fd_sink = hdr.filter(F.col("sink") == "FORMAT_DESC")
+    _, factory = parse.DECODERS["FORMAT_DESC"]
+    fd = fd_sink.withColumn("d", factory()(F.col("tokens"))).select(
+        "source", "log_pos", "d.binlog_version", "d.mysql_server_version",
+        "d.create_timestamp")
+    agg.desc_report(hdr, fd).show(100, truncate=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="binlogpipe")
+    sub = ap.add_subparsers(required=True)
+
+    t = sub.add_parser("trans", help="run the full parse→enrich→route→"
+                                     "aggregate DAG to typed sinks")
+    t.add_argument("input")
+    t.add_argument("out")
+    t.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    t.add_argument("--run-id", default="cli")
+    t.add_argument("--no-resume", action="store_true")
+    t.set_defaults(fn=cmd_trans)
+
+    d = sub.add_parser("desc", help="event counts + first FormatDesc summary")
+    d.add_argument("input")
+    d.set_defaults(fn=cmd_desc)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,7 +133,10 @@ def run_pipeline(
     dim_path = str(out / "table_map_dim")
     if not (resume and ck.done("enrich")):
         t0 = time.time()
-        tm_sink = routed_df.filter(F.col("sink") == "TABLE_MAP")
+        # TABLE_MAP's partition has only salt-factor-many files; repartition
+        # so the dictionary decode uses every core
+        tm_sink = (routed_df.filter(F.col("sink") == "TABLE_MAP")
+                   .repartition(spark.sparkContext.defaultParallelism))
         schema, udf_factory = parse.DECODERS["TABLE_MAP"]
         tm = tm_sink.withColumn("d", udf_factory()(F.col("tokens_bin")))
         tm_decoded = tm.select("source", "log_pos", "d.*")
@@ -149,11 +152,10 @@ def run_pipeline(
         t0 = time.time()
         present = [r["sink"] for r in routed_df.select("sink").distinct().collect()]
 
-        # decode width per sink: 4 concurrent jobs x (cores/4)-wide tasks
-        # saturates the executor with far fewer Python workers than
-        # width=cores would (measured: fewer, bigger tasks beat many small
-        # ones — worker memory + spawn overhead dominates otherwise)
-        par = max(4, spark.sparkContext.defaultParallelism // 4)
+        # hot sinks get full-width decode (they dominate rows: QUERY+GTID
+        # alone are 42%); the 4-job pool overlaps the small sinks behind
+        # them without flooding the executor with Python workers
+        par = spark.sparkContext.defaultParallelism
 
         def decode_one(sink: str) -> None:
             # each write is an independent Spark job; running them from a

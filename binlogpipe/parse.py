@@ -14,6 +14,7 @@ router sends rows with a non-null error to the quarantine sink.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 from typing import Callable
 
@@ -311,7 +312,11 @@ def parse_status_vars(buf: bytes) -> list[dict]:
     return out
 
 
+@_functools.lru_cache(maxsize=8192)
 def _status_vars_json(buf: bytes) -> str:
+    """Memoized: status-var blocks repeat across Query events of a session
+    (same flags2/sql_mode/charset), so the sub-parse + JSON render runs
+    once per distinct byte pattern per worker."""
     return json.dumps(parse_status_vars(buf), separators=(",", ":"))
 
 

@@ -50,7 +50,8 @@ def test_route_hot_path_is_jvm_only(spark, fixture_parquet):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
                    "MapInPandas"):
         assert marker not in plan, f"{marker} in hot path:\n{plan}"
-    assert "WholeStageCodegen" in plan
+    # "*(n)" prefixes mark whole-stage-codegen spans in the final plan
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan
 
 
 def test_salt_spreads_hot_types(spark, fixture_parquet):
