@@ -41,7 +41,7 @@ from . import enrich, layout, lineage, parse, route
 ROUTED_COLS = [
     "doc_id", "tokens_bin", "n_tok", "source", "timestamp", "event_type",
     "server_id", "event_size", "log_pos", "flags", "checksum", "sink",
-    "salt", "rows_table_id",
+    "salt", "rows_table_id", "input_partition",
 ]
 
 ROWS_SINKS = ("WRITE_ROWS_V2", "UPDATE_ROWS_V2", "DELETE_ROWS_V2")
@@ -107,8 +107,11 @@ def run_pipeline(
         # mod.rs:1182-1186)
         hdr = hdr.withColumn(
             "rows_table_id",
-            F.when(F.col("sink").isin(*ROWS_SINKS),
+            F.when(F.col("sink").isin(*ROWS_SINKS + ("TABLE_MAP",)),
                    layout.u48le(F.col("tokens"), 19)))
+        # input partition id recorded pre-shuffle: lineage derives from the
+        # routed table afterwards instead of re-scanning the input
+        hdr = hdr.withColumn("input_partition", F.spark_partition_id())
         obs = lineage.stage_observation("route")
         hdr = lineage.observe_counts(hdr, obs)
         routed_df = route.routed(hdr)
@@ -121,10 +124,10 @@ def run_pipeline(
         ck.mark("route", **stage_metrics)
     routed_df = spark.read.parquet(routed_path)
 
-    # ---- stage: lineage (per input partition) ----
+    # ---- stage: lineage (per input partition, from the routed table) ----
     if not (resume and ck.done("lineage")):
         t0 = time.time()
-        lin = lineage.partition_lineage(parse.with_header(src))
+        lin = lineage.lineage_from_routed(routed_df)
         lin.write.mode("overwrite").parquet(str(out / "lineage"))
         metrics["stages"]["lineage"] = {"wall_sec": round(time.time() - t0, 3)}
         ck.mark("lineage")
@@ -133,12 +136,18 @@ def run_pipeline(
     dim_path = str(out / "table_map_dim")
     if not (resume and ck.done("enrich")):
         t0 = time.time()
-        # TABLE_MAP's partition has only salt-factor-many files; repartition
-        # so the dictionary decode uses every core
-        tm_sink = (routed_df.filter(F.col("sink") == "TABLE_MAP")
-                   .repartition(spark.sparkContext.defaultParallelism))
+        # dedup BEFORE decoding: keep only the latest TableMap per
+        # (source, table_id) — a JVM window over skinny columns — then run
+        # the Python dictionary decode on the handful of survivors
+        from pyspark.sql import Window
+
+        tm_sink = routed_df.filter(F.col("sink") == "TABLE_MAP")
+        w = Window.partitionBy("source", "rows_table_id").orderBy(
+            F.col("log_pos").desc(), F.col("doc_id").desc())
+        latest = (tm_sink.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
         schema, udf_factory = parse.DECODERS["TABLE_MAP"]
-        tm = tm_sink.withColumn("d", udf_factory()(F.col("tokens_bin")))
+        tm = latest.withColumn("d", udf_factory()(F.col("tokens_bin")))
         tm_decoded = tm.select("source", "log_pos", "d.*")
         dim = enrich.build_table_map_dim(
             tm_decoded.filter(F.col("parse_error").isNull()))

@@ -55,6 +55,23 @@ def partition_lineage(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "sink").mapInPandas(gen, LINEAGE_SCHEMA)
 
 
+def lineage_from_routed(routed_df: DataFrame) -> DataFrame:
+    """Lineage derived from the routed table's recorded `input_partition`
+    column (stamped pre-shuffle) — one JVM aggregation, no second scan of
+    the input. first/last doc_id are the min/max within the partition."""
+    return (
+        routed_df.groupBy(F.col("input_partition").alias("partition_id"))
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.count("*").alias("rows_in"),
+            F.sum((F.col("sink") != "QUARANTINE").cast("long")).alias(
+                "rows_routed"),
+        )
+        .orderBy("partition_id")
+    )
+
+
 def stage_observation(name: str) -> Observation:
     return Observation(name)
 
