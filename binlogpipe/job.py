@@ -52,8 +52,11 @@ class Checkpoint:
     checkpoint, this records which stages of a run committed."""
 
     def __init__(self, out_dir: str, run_id: str):
+        import threading
+
         self.path = Path(out_dir) / "_checkpoint" / "state.json"
         self.run_id = run_id
+        self._lock = threading.Lock()
         self.state: dict = {"run_id": run_id, "stages": {}}
         if self.path.exists():
             prev = json.loads(self.path.read_text())
@@ -64,11 +67,12 @@ class Checkpoint:
         return stage in self.state["stages"]
 
     def mark(self, stage: str, **info) -> None:
-        self.state["stages"][stage] = {"ts": time.time(), **info}
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(self.state, indent=1))
-        tmp.replace(self.path)
+        with self._lock:  # decode marks arrive from the job thread pool
+            self.state["stages"][stage] = {"ts": time.time(), **info}
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = self.path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(self.state, indent=1))
+            tmp.replace(self.path)
 
 
 def read_input(spark: SparkSession, input_path: str) -> DataFrame:
@@ -169,7 +173,11 @@ def run_pipeline(
         def decode_one(sink: str) -> None:
             # each write is an independent Spark job; running them from a
             # thread pool lets the scheduler pipeline their stages instead
-            # of paying per-job fixed overhead serially
+            # of paying per-job fixed overhead serially. Per-sink checkpoint
+            # marks make a mid-stage crash resume from the first unwritten
+            # sink (each write is itself an idempotent overwrite).
+            if resume and ck.done(f"decode:{sink}"):
+                return
             sink_df = routed_df.filter(F.col("sink") == sink)
             # the pruned read yields few, small files which the scan packs
             # into 1-2 input splits — round-robin repartition restores
@@ -207,6 +215,7 @@ def run_pipeline(
             else:
                 dec = sink_df.select(*base_cols, "tokens_bin")
             dec.write.mode("overwrite").parquet(tgt)
+            ck.mark(f"decode:{sink}")
 
         from concurrent.futures import ThreadPoolExecutor
 
