@@ -117,8 +117,9 @@ def write_synth_parquet(path: Path, factor: int, seed: int = 42,
     tokens_col = tokens_col.cast(pa.list_(pa.int32()))
 
     srcs = [src for _, src, _ in rows]
-    idx = [f"{src}/{j}" for j, src in enumerate(srcs)]
-    doc_ids = [f"{idx[j]}/r{rep}" for rep in range(factor) for j in range(n_base)]
+    base_ids = [doc_id for doc_id, _, _ in rows]  # "<fixture>/<event_idx>"
+    doc_ids = [f"{base_ids[j]}/r{rep}"
+               for rep in range(factor) for j in range(n_base)]
     source_col = pa.DictionaryArray.from_arrays(
         pa.array(np.tile(np.arange(n_base, dtype=np.int32), factor)),
         pa.array(srcs)).cast(pa.string())
