@@ -355,13 +355,13 @@ H = layout.HEADER_LEN
 
 
 def decode_query_py(buf: bytes) -> dict:
-    """Query event (mod.rs:469-514)."""
-    off = H
-    slave_proxy_id, off = c.u32(buf, off)
-    execution_time, off = c.u32(buf, off)
-    schema_length = buf[off]; off += 1
-    error_code, off = c.u16(buf, off)
-    svl, off = c.u16(buf, off)
+    """Query event (mod.rs:469-514). Fixed 13-byte prefix in one struct
+    call; status vars memoized (hot path: QUERY is 23% of all events)."""
+    import struct
+
+    slave_proxy_id, execution_time, schema_length, error_code, svl = (
+        struct.unpack_from("<IIBHH", buf, H))
+    off = H + 13
     status_vars = _status_vars_json(buf[off:off + svl])
     off += svl
     schema = buf[off:off + schema_length].decode("utf-8")
