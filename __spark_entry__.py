@@ -284,6 +284,31 @@ def q_bl_enrich_dim(spark, sf_dir):
     ).orderBy("source", "table_id")
 
 
+def q_bl_transactions(spark, sf_dir):
+    """Batch transaction assembly (GTID→XID per source) via window
+    functions — the batch twin of streaming.transaction_assembler."""
+    from pyspark.sql import Window
+
+    h = _fixture_df(spark).select("source", "log_pos", "sink")
+    w = (Window.partitionBy("source").orderBy("log_pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    m = h.withColumn(
+        "gtid_log_pos",
+        F.max(F.when(F.col("sink").isin("GTID", "ANON_GTID"),
+                     F.col("log_pos"))).over(w))
+    m = m.filter(F.col("gtid_log_pos").isNotNull())
+    x = (m.groupBy("source", "gtid_log_pos")
+         .agg(F.min(F.when(F.col("sink") == "XID", F.col("log_pos")))
+              .alias("xid_log_pos"))
+         .filter(F.col("xid_log_pos").isNotNull()))
+    return (m.join(x, ["source", "gtid_log_pos"])
+            .filter((F.col("log_pos") >= F.col("gtid_log_pos"))
+                    & (F.col("log_pos") <= F.col("xid_log_pos")))
+            .groupBy("source", "gtid_log_pos", "xid_log_pos")
+            .agg(F.count("*").cast("int").alias("n_events"))
+            .orderBy("source", "gtid_log_pos"))
+
+
 # --- events-table analogs ---------------------------------------------------
 
 def q_ev_type_counts(spark, sf_dir):
@@ -498,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bl_enrich_dim": q_bl_enrich_dim,
         "bl_source_type_stats": q_bl_source_type_stats,
         "bl_desc_report": q_bl_desc_report,
+        "bl_transactions": q_bl_transactions,
         "bl_rows_decode": q_bl_rows_decode,
         "ev_type_counts": q_ev_type_counts,
         "ev_minute_rollup": q_ev_minute_rollup,
@@ -668,6 +694,25 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT t.source, t.n_events, fd.binlog_version, "
         f"fd.mysql_server_version, fd.create_timestamp FROM t "
         f"LEFT JOIN fd ON t.source = fd.source AND fd.rn = 1 ORDER BY t.source"
+    )
+
+    out["bl_transactions"] = (
+        f"WITH h AS (SELECT source, {_u(13, 4)} AS log_pos, {sink} AS sink "
+        f"FROM {FX}), "
+        f"m AS (SELECT source, log_pos, sink, "
+        f"max(CASE WHEN sink IN ('GTID', 'ANON_GTID') THEN log_pos END) "
+        f"OVER (PARTITION BY source ORDER BY log_pos "
+        f"ROWS UNBOUNDED PRECEDING) AS gtid_log_pos FROM h), "
+        f"x AS (SELECT source, gtid_log_pos, "
+        f"min(CASE WHEN sink = 'XID' THEN log_pos END) AS xid_log_pos "
+        f"FROM m WHERE gtid_log_pos IS NOT NULL GROUP BY 1, 2) "
+        f"SELECT m.source, m.gtid_log_pos, x.xid_log_pos, "
+        f"count(*)::INT AS n_events "
+        f"FROM m JOIN x ON m.source = x.source AND "
+        f"m.gtid_log_pos = x.gtid_log_pos "
+        f"WHERE x.xid_log_pos IS NOT NULL AND m.log_pos >= m.gtid_log_pos "
+        f"AND m.log_pos <= x.xid_log_pos "
+        f"GROUP BY 1, 2, 3 ORDER BY 1, 2"
     )
 
     # --- events analogs ---

@@ -52,6 +52,64 @@ def sink_counts_stream(routed: DataFrame) -> DataFrame:
     )
 
 
+def transaction_assembler(routed: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): assemble binlog
+    transactions per source — a transaction opens at a GTID/ANON_GTID event
+    and commits at the next XID (the reference leaves this to downstream
+    consumers; replication semantics per MySQL's GTID protocol).
+
+    State per source: (open transaction's gtid log_pos, events so far).
+    Events are processed in log_pos order within each micro-batch; the
+    replication stream delivers in order, and the table-source analog sorts
+    per batch. Emits one row per committed transaction.
+    """
+    out_schema = ("source string, gtid_log_pos long, xid_log_pos long, "
+                  "n_events int")
+    state_schema = "gtid_log_pos long, n_events int, open int"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (source,) = key
+        if state.exists:
+            gpos, n, is_open = state.get
+        else:
+            gpos, n, is_open = -1, 0, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("log_pos")
+            for sink, pos in zip(pdf["sink"], pdf["log_pos"]):
+                if sink in ("GTID", "ANON_GTID"):
+                    gpos, n, is_open = int(pos), 1, 1
+                elif is_open:
+                    n += 1
+                    if sink == "XID":
+                        out.append((source, gpos, int(pos), n))
+                        gpos, n, is_open = -1, 0, 0
+        state.update((gpos, n, is_open))
+        yield pd.DataFrame(
+            out, columns=["source", "gtid_log_pos", "xid_log_pos", "n_events"])
+
+    return (routed.groupBy("source")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", "NoTimeout"))
+
+
+def run_transactions_available_now(spark: SparkSession, input_dir: str,
+                                   checkpoint_dir: str) -> list:
+    txns = transaction_assembler(
+        routed_stream(read_stream(spark, input_dir))
+        .select("source", "sink", "log_pos"))
+    q = (txns.writeStream.outputMode("append")
+         .format("memory").queryName("stream_txns")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(
+        "select * from stream_txns order by source, gtid_log_pos").collect()
+
+
 def run_available_now(spark: SparkSession, input_dir: str, out_dir: str,
                       checkpoint_dir: str) -> None:
     """Drain the current table contents through the streaming DAG (used by

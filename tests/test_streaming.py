@@ -23,6 +23,38 @@ def test_stream_counts_match_batch_golden(spark, fixture_parquet, tmp_path):
     assert counts == GOLDEN_COUNTS
 
 
+def test_stream_transaction_assembler(spark, fixture_parquet, tmp_path):
+    """Stateful GTID→XID transaction assembly matches a plain-python
+    simulation over the raw fixture events."""
+    from binlogpipe.layout import EVENT_TYPES
+    from tools import fixture_gen
+
+    # independent expectation: walk raw events per fixture in file order
+    expected = []
+    state = {}
+    for doc_id, src, ev in fixture_gen.load_fixture_events():
+        sink = EVENT_TYPES.get(ev[4], "QUARANTINE")
+        log_pos = int.from_bytes(ev[13:17], "little")
+        gpos, n, is_open = state.get(src, (-1, 0, 0))
+        if sink in ("GTID", "ANON_GTID"):
+            gpos, n, is_open = log_pos, 1, 1
+        elif is_open:
+            n += 1
+            if sink == "XID":
+                expected.append((src, gpos, log_pos, n))
+                gpos, n, is_open = -1, 0, 0
+        state[src] = (gpos, n, is_open)
+    expected.sort()
+
+    input_dir = _stage_input(fixture_parquet, tmp_path)
+    rows = streaming.run_transactions_available_now(
+        spark, input_dir, str(tmp_path / "ck_txn"))
+    got = sorted((r["source"], r["gtid_log_pos"], r["xid_log_pos"],
+                  r["n_events"]) for r in rows)
+    assert got == expected
+    assert len(got) == 13  # one transaction per XID event (BASELINE.md §2)
+
+
 def test_stream_routed_parquet_and_checkpoint_resume(spark, fixture_parquet,
                                                      tmp_path):
     input_dir = _stage_input(fixture_parquet, tmp_path)
