@@ -14,8 +14,11 @@ columns by name.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,6 +149,14 @@ def q_bl_header_decode(spark, sf_dir):
         F.col("flags").cast("long").alias("flags"),
         "checksum",
     ).orderBy("doc_id")
+
+
+def q_bl_flag_bits(spark, sf_dir):
+    """The 10 EventFlag booleans (mod.rs:28-40) as ints."""
+    df = _fixture_df(spark)
+    cols = [v.cast("int").alias(k)
+            for k, v in layout.flag_columns(F.col("flags")).items()]
+    return df.select("doc_id", *cols).orderBy("doc_id")
 
 
 def q_bl_validate(spark, sf_dir):
@@ -509,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bl_sink_counts": q_bl_sink_counts,
         "bl_header_decode": q_bl_header_decode,
+        "bl_flag_bits": q_bl_flag_bits,
         "bl_validate": q_bl_validate,
         "bl_xid": q_bl_xid,
         "bl_rotate": q_bl_rotate,
@@ -564,6 +576,16 @@ def oracle_sql() -> dict[str, str]:
         f"(tokens[n_tok-3]::BIGINT + tokens[n_tok-2]::BIGINT*256 + "
         f"tokens[n_tok-1]::BIGINT*65536 + tokens[n_tok]::BIGINT*16777216) "
         f"AS checksum FROM {FX} ORDER BY doc_id"
+    )
+
+    flag_names = ["in_use", "forced_rotate", "thread_specific", "suppress_use",
+                  "update_table_map_version", "artificial", "relay_log",
+                  "ignorable", "no_filter", "mts_isolate"]
+    flag_cols = ", ".join(
+        f"(({_u(17, 2)} // {1 << i}) % 2)::INT AS flag_{n}"
+        for i, n in enumerate(flag_names))
+    out["bl_flag_bits"] = (
+        f"SELECT doc_id, {flag_cols} FROM {FX} ORDER BY doc_id"
     )
 
     out["bl_validate"] = (

@@ -54,6 +54,30 @@ def test_route_hot_path_is_jvm_only(spark, fixture_parquet):
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
 
 
+def test_salting_defuses_hot_type_skew(spark, tmp_path):
+    """SURVEY §7.3 hard #4: with salting, the biggest routed shuffle
+    partition carries a small, bounded share of the data; without it, the
+    hot sink (QUERY, 23% of all events) serializes into one task."""
+    from binlogpipe import route
+    from tools import fixture_gen
+
+    inp = tmp_path / "skew_in.parquet"
+    fixture_gen.write_synth_parquet(inp, 200)  # 33,200 events
+    hdr = parse.with_header(spark.read.parquet(str(inp)))
+    n_total = 166 * 200
+
+    def max_share(df):
+        sizes = [r["n"] for r in df.groupBy(F.spark_partition_id().alias("p"))
+                 .agg(F.count("*").alias("n")).collect()]
+        return max(sizes) / n_total
+
+    unsalted = max_share(hdr.repartition(64, "sink"))
+    salted = max_share(route.routed(hdr, shuffle_partitions=64))
+    assert unsalted >= 38 / 166 * 0.9  # QUERY-sized straggler partition
+    assert salted < unsalted / 2
+    assert salted <= 0.08, salted  # no task holds >8% of the data
+
+
 def test_salt_spreads_hot_types(spark, fixture_parquet):
     """Hot event types fan out across salt values (skew defense)."""
     from binlogpipe import route
