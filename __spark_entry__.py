@@ -459,6 +459,10 @@ def q_emb_lsh_ann(spark, sf_dir):
     return vecops.signbit_lsh_ann(_tbl(spark, sf_dir, "embeddings"), 4, 3)
 
 
+def q_emb_ivf_ann(spark, sf_dir):
+    return vecops.ivf_ann(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20)
+
+
 def q_emb_neardup(spark, sf_dir):
     return vecops.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), 0.35, 2)
 
@@ -555,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_jaccard": q_doc_neardup_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_ivf_ann": q_emb_ivf_ann,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
     }
@@ -925,6 +930,28 @@ def oracle_sql() -> dict[str, str]:
         f"b AS (SELECT bucket, vec_id AS neighbor_id, embedding AS cv FROM e), "
         f"scored AS (SELECT query_id, neighbor_id, {cos_ab} AS sim "
         f"FROM a JOIN b ON a.bucket = b.bucket AND query_id != neighbor_id), "
+        f"ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
+        f"FROM scored) "
+        f"SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 6) "
+        f"AS sim FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
+    )
+
+    cos_ec = _cos_sql("e.embedding", "c.cv")
+    cos_qn = _cos_sql("a.qv", "b.cv")
+    out["emb_ivf_ann"] = (
+        f"WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+        f"WHERE vec_id < 8), "
+        f"assign AS (SELECT vec_id, embedding, cid FROM ("
+        f"SELECT e.vec_id, e.embedding, c.cid, row_number() OVER "
+        f"(PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid ASC) AS rn "
+        f"FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), "
+        f"a AS (SELECT cid, vec_id AS query_id, embedding AS qv FROM assign "
+        f"WHERE vec_id < 20), "
+        f"b AS (SELECT cid, vec_id AS neighbor_id, embedding AS cv "
+        f"FROM assign), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos_qn} AS sim "
+        f"FROM a JOIN b ON a.cid = b.cid AND query_id != neighbor_id), "
         f"ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
         f"(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
         f"FROM scored) "

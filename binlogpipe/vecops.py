@@ -75,6 +75,51 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 4, k: int = 3) -> DataFrame:
     )
 
 
+def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
+            n_queries: int = 20) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (the first
+    `n_centroids` vectors serve as centroids), every vector is assigned to
+    its nearest centroid (inverted list), and each query searches only its
+    own list (nprobe=1). At scale the centroid assignment is a map-only
+    pass over broadcast centroid literals and the search is an equi-join on
+    centroid id — the big table never cross-joins."""
+    centroids = (emb.where(F.col("vec_id") < n_centroids)
+                 .select("vec_id", "embedding")
+                 .orderBy("vec_id").collect())
+
+    def centroid_expr(col: str):
+        # argmax over inlined centroid literals: cosine(col, c_i)
+        best_id, best_sim = None, None
+        for crow in centroids:
+            lit = "array(" + ",".join(
+                f"CAST({float(x)} AS DOUBLE)" for x in crow["embedding"]) + ")"
+            sim = F.expr(_cosine(col, lit))
+            if best_id is None:
+                best_id, best_sim = F.lit(crow["vec_id"]), sim
+            else:
+                cond = sim > best_sim
+                best_id = F.when(cond, crow["vec_id"]).otherwise(best_id)
+                best_sim = F.when(cond, sim).otherwise(best_sim)
+        return best_id
+
+    assigned = emb.withColumn("centroid", centroid_expr("embedding"))
+    q = (assigned.where(F.col("vec_id") < n_queries)
+         .select("centroid", F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    c = assigned.select("centroid", F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("cv"))
+    scored = (c.join(F.broadcast(q), "centroid")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", F.expr(_cosine("qv", "cv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("sim", 6).alias("sim"))
+            .orderBy("query_id", "rank"))
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          bits: int = 2) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing
