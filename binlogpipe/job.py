@@ -254,6 +254,25 @@ def run_pipeline(
     return metrics
 
 
+def compact_sink(spark: SparkSession, out_dir: str, sink: str,
+                 target_file_mb: int = 256) -> int:
+    """Small-file compaction for a typed sink (the fan-out write makes one
+    file per (task, sink); long-running ingestion accumulates small files
+    that degrade scan planning at scale). Rewrites the sink at
+    ~target_file_mb per file; idempotent. Returns the new file count."""
+    src = Path(out_dir) / "sinks" / sink
+    size_b = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(str(src))
+    tmp = str(src) + "_compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil as _sh
+
+    _sh.rmtree(src)
+    Path(tmp).rename(src)
+    return n_files
+
+
 def main() -> None:  # spark-submit entrypoint
     import argparse
 

@@ -101,6 +101,21 @@ def test_checkpoint_resume(spark, fixture_parquet, tmp_path):
     assert spark.read.parquet(str(out / "agg" / "sink_counts")).count() == 18
 
 
+def test_compact_sink(spark, fixture_parquet, tmp_path):
+    from binlogpipe.job import compact_sink, run_pipeline
+
+    out = tmp_path / "compact_out"
+    run_pipeline(spark, fixture_parquet, str(out), run_id="c")
+    before = spark.read.parquet(str(out / "sinks" / "QUERY"))
+    rows_before = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+    n_files = compact_sink(spark, str(out), "QUERY", target_file_mb=256)
+    assert n_files == 1
+    after = spark.read.parquet(str(out / "sinks" / "QUERY"))
+    assert sorted(r["doc_id"] for r in after.select("doc_id").collect()) == rows_before
+    files = list((out / "sinks" / "QUERY").rglob("*.parquet"))
+    assert len(files) == 1
+
+
 def test_malformed_rows_quarantined(spark, tmp_path):
     """Truncated/corrupt events route to QUARANTINE instead of failing the
     job (reference would panic: mod.rs:405-415)."""
