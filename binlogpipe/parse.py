@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools as _functools
 import json
+import struct as _struct
 from typing import Callable
 
 import pandas as pd
@@ -357,10 +358,8 @@ H = layout.HEADER_LEN
 def decode_query_py(buf: bytes) -> dict:
     """Query event (mod.rs:469-514). Fixed 13-byte prefix in one struct
     call; status vars memoized (hot path: QUERY is 23% of all events)."""
-    import struct
-
     slave_proxy_id, execution_time, schema_length, error_code, svl = (
-        struct.unpack_from("<IIBHH", buf, H))
+        _struct.unpack_from("<IIBHH", buf, H))
     off = H + 13
     status_vars = _status_vars_json(buf[off:off + svl])
     off += svl
