@@ -593,12 +593,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {flag_cols} FROM {FX} ORDER BY doc_id"
     )
 
+    # NB: each sum() is cast to BIGINT *outside* the aggregate — DuckDB's
+    # sum(BIGINT) yields HUGEINT, and the driver hashes typed values.
     out["bl_validate"] = (
         f"SELECT count(*) AS n_total, "
-        f"sum((n_tok::BIGINT = {_u(9, 4)})::BIGINT) AS n_valid_size, "
+        f"sum((n_tok::BIGINT = {_u(9, 4)})::BIGINT)::BIGINT AS n_valid_size, "
         f"sum((tokens[1]=254 AND tokens[2]=98 AND tokens[3]=105 AND "
-        f"tokens[4]=110)::BIGINT) AS n_magic, "
-        f"sum(({sink} != 'QUARANTINE')::BIGINT) AS n_routed FROM {FX}"
+        f"tokens[4]=110)::BIGINT)::BIGINT AS n_magic, "
+        f"sum(({sink} != 'QUARANTINE')::BIGINT)::BIGINT AS n_routed FROM {FX}"
     )
 
     out["bl_xid"] = (

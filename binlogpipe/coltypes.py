@@ -19,7 +19,13 @@ Replicated reference quirks (SURVEY §1.2):
 - TableMap metadata for Time2 decodes to a Timestamp2 type (mysql.rs:143) —
   cell width is identical (4 bytes) so only the kind string changes;
 - the per-row NULL bitmap is skipped without being interpreted
-  (mod.rs:1219): cell decode never consults null bits.
+  (mod.rs:1219): cell decode never consults null bits;
+- VarString/String cells advance the row cursor by ``len`` only: the
+  reference's parse returns ``(len, value)`` for these two types — omitting
+  the 1-byte length prefix it consumed — and parse_row does
+  ``index += offset`` against the *original* slice (mysql.rs:255-267,
+  mod.rs:1222-1224), so the next column re-reads the string's final byte.
+  Replicated byte-for-byte (pinned by test_varstring_advance_quirk).
 """
 
 from __future__ import annotations
@@ -163,12 +169,14 @@ def decode_cell(buf: bytes, off: int, type_id: int, meta: list[int]):
         o = off + len_bytes
         return ("Blob", list(buf[o:o + ln]), None), o + ln
     if t == T_VARSTRING:
+        # quirk: consumed length omits the 1-byte prefix (module docstring)
         ln, o = buf[off], off + 1
-        return ("VarString", list(buf[o:o + ln]), None), o + ln
+        return ("VarString", list(buf[o:o + ln]), None), off + ln
     if t == T_STRING:
-        # quirk: String cells are emitted as VarChar (mysql.rs:255-261)
+        # quirks: String cells are emitted as VarChar (mysql.rs:255-261);
+        # consumed length omits the 1-byte prefix (module docstring)
         ln, o = buf[off], off + 1
-        return ("VarChar", list(buf[o:o + ln]), None), o + ln
+        return ("VarChar", list(buf[o:o + ln]), None), off + ln
     if t == T_GEOMETRY:
         n = meta[0] if meta else 1
         return raw(n, "Geometry")

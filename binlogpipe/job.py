@@ -260,16 +260,29 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
     file per (task, sink); long-running ingestion accumulates small files
     that degrade scan planning at scale). Rewrites the sink at
     ~target_file_mb per file; idempotent. Returns the new file count."""
+    import shutil as _sh
+
     src = Path(out_dir) / "sinks" / sink
+    tmp = Path(str(src) + "_compacting")
+    old = Path(str(src) + "_old")
+    # crash recovery: a leftover swap means a prior compaction died between
+    # renames — if the live dir is gone, the _old copy is the good data.
+    if old.exists():
+        if not src.exists():
+            old.rename(src)
+        else:
+            _sh.rmtree(old)
+    if tmp.exists():
+        _sh.rmtree(tmp)
     size_b = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(str(src))
-    tmp = str(src) + "_compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    import shutil as _sh
-
-    _sh.rmtree(src)
-    Path(tmp).rename(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
+    # swap order keeps a readable copy at every instant: src -> _old,
+    # tmp -> src, then drop _old. A crash at any point is recoverable above.
+    src.rename(old)
+    tmp.rename(src)
+    _sh.rmtree(old)
     return n_files
 
 

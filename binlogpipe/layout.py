@@ -79,8 +79,13 @@ DEFAULT_SALT_FACTOR = 4
 
 
 def _b(col: Column, off: int) -> Column:
-    """Byte at 0-based offset `off` of the tokens array, as long."""
-    return F.element_at(col, off + 1).cast("long")
+    """Byte at 0-based offset `off` of the tokens array, as long.
+
+    try_element_at, not element_at: under ANSI mode an out-of-bounds index
+    throws, so a single truncated row (< 19 header bytes) would fail the
+    whole route stage. Null-on-short-row flows into a null event_size ->
+    null valid_size -> QUARANTINE (with_header coalesces to False)."""
+    return F.try_element_at(col, F.lit(off + 1)).cast("long")
 
 
 def u8(col: Column, off: int) -> Column:
@@ -148,11 +153,16 @@ def sink_expr(event_type: Column) -> Column:
 
 
 def checksum_expr(tokens: Column) -> Column:
-    """Trailing CRC32 bytes as u32le (parsed, never verified — H3)."""
+    """Trailing CRC32 bytes as u32le (parsed, never verified — H3).
+
+    Guarded: element_at(tokens, 0) throws in Spark, so a malformed row with
+    exactly 3 tokens would otherwise fail the whole route stage instead of
+    quarantining — rows shorter than the 4 checksum bytes yield null."""
     n = F.size(tokens)
-    return (
+    return F.when(
+        n >= 4,
         F.element_at(tokens, n - 3).cast("long")
         + F.element_at(tokens, n - 2).cast("long") * 256
         + F.element_at(tokens, n - 1).cast("long") * 65536
-        + F.element_at(tokens, n).cast("long") * 16777216
+        + F.element_at(tokens, n).cast("long") * 16777216,
     )

@@ -76,7 +76,13 @@ def transaction_assembler(routed: DataFrame) -> DataFrame:
         else:
             gpos, n, is_open = -1, 0, 0
         out = []
-        for pdf in pdfs:
+        # applyInPandasWithState gives no cross-chunk ordering guarantee:
+        # a group spanning multiple Arrow chunks must be concatenated and
+        # sorted ONCE, or the GTID/XID state machine runs out of log_pos
+        # order across chunk boundaries.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("log_pos")
             for sink, pos in zip(pdf["sink"], pdf["log_pos"]):
                 if sink in ("GTID", "ANON_GTID"):

@@ -137,15 +137,19 @@ def test_malformed_rows_quarantined(spark, tmp_path):
             ("bad/2", v1_rows, len(v1_rows), "bad"),
             ("bad/3", magic_row, len(magic_row), "bad"),
             ("ok/0", list(good), len(good), "ok"),
+            # short rows: < 4 bytes (checksum guard), < 19 bytes (header
+            # fields null via try_element_at), empty — must quarantine,
+            # never throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode
+            ("bad/4", [254, 98, 105], 3, "bad"),
+            ("bad/5", list(range(12)), 12, "bad"),
+            ("bad/6", [], 0, "bad"),
         ],
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
     hdr = parse.with_header(df)
     sinks = {r["doc_id"]: r["sink"] for r in hdr.select("doc_id", "sink").collect()}
-    assert sinks["bad/0"] == "QUARANTINE"
-    assert sinks["bad/1"] == "QUARANTINE"
-    assert sinks["bad/2"] == "QUARANTINE"
-    assert sinks["bad/3"] == "QUARANTINE"
+    for k in ("bad/0", "bad/1", "bad/2", "bad/3", "bad/4", "bad/5", "bad/6"):
+        assert sinks[k] == "QUARANTINE"
     assert sinks["ok/0"] == "FORMAT_DESC"
 
 

@@ -156,6 +156,23 @@ def test_coltypes_width_matrix():
         assert off == 0
 
 
+def test_varstring_advance_quirk():
+    # mysql.rs:255-267 + mod.rs:1222-1224 — VarString/String parsers return
+    # (len, value) where len OMITS the 1-byte length prefix they consumed,
+    # and parse_row advances by that reported len against the original
+    # slice. Net effect: the cursor lands 1 byte short, so the next column
+    # re-reads the string's final byte. Replicated byte-for-byte.
+    for tid in (253, 254):  # VarString, String
+        cell, off = decode_cell(b"\x02QR\x07\x00", 0, tid, [253, 10])
+        assert cell[1] == [81, 82]
+        assert off == 2  # NOT 3: prefix byte excluded from the advance
+    # multi-column row: Short after a String re-reads the final string byte
+    buf = b"\x00" + b"\x02QR" + b"\x07\x00"  # bitmap + String("QR") + Short
+    cells, _ = decode_row(buf, 1, [(254, [253, 10]), (2, [])])
+    assert cells[0][1] == [81, 82]
+    assert cells[1] == ("Short", [82, 7], None)  # starts on 'R' (0x52)
+
+
 def test_decode_row_skips_null_bitmap():
     # init_idx skips the per-row NULL bitmap without reading it
     # (mod.rs:1214-1227); empty input resets to 0 (mod.rs:1219)
