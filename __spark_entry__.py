@@ -231,6 +231,20 @@ def q_bl_query(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q_bl_status_vars(spark, sf_dir):
+    """The 14-key status-vars sub-parser (query.rs:75-177) surfaced as
+    typed columns: inverted-FLAGS2 booleans, SQL_MODE bits, charset triple,
+    catalog, updated-db names. Oracle re-walks the variable-width block
+    with a recursive CTE."""
+    df = _fixture_df(spark).filter(F.col("sink") == "QUERY")
+    udf = parse._rowwise(parse.STATUS_TYPED_SCHEMA, parse.decode_status_typed_py)
+    d = df.withColumn("d", udf(F.col("tokens")))
+    flat = [f.name for f in parse.STATUS_TYPED_SCHEMA.fields
+            if f.name != "parse_error"]
+    return d.select("doc_id", *[F.col(f"d.{n}").alias(n) for n in flat]
+                    ).orderBy("doc_id")
+
+
 def q_bl_format_desc(spark, sf_dir):
     return (_decoded(spark, "FORMAT_DESC").select(
         "doc_id",
@@ -447,6 +461,10 @@ def q_doc_neardup_minhash(spark, sf_dir):
     return textops.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"), 0.5)
 
 
+def q_doc_neardup_clusters(spark, sf_dir):
+    return textops.minhash_lsh_clusters(_tbl(spark, sf_dir, "documents"), 0.5)
+
+
 def q_doc_neardup_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), 0.6)
 
@@ -470,9 +488,10 @@ def q_emb_neardup(spark, sf_dir):
 # --- non-SQL-expressible (rows-only driver check) ----------------------------
 
 def q_bl_rows_decode(spark, sf_dir):
-    """Row-image cell decode, flattened: cross-event broadcast enrich +
-    variable-layout cell decode — not expressible in ANSI SQL (driver
-    records the weaker rows-only check; pytest holds the field goldens)."""
+    """Row-image cell decode, flattened to one row per cell. The oracle
+    re-walks the payload with a recursive CTE over hardcoded fixture table
+    layouts (the Spark side derives layouts from TABLE_MAP enrich — the
+    general path); pytest additionally holds byte-exact field goldens."""
     df = _fixture_df(spark)
     tm = _decoded(spark, "TABLE_MAP").select("source", "log_pos", "d.*")
     dim = enrich.build_table_map_dim(tm.filter(F.col("parse_error").isNull()))
@@ -533,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bl_gtid": q_bl_gtid,
         "bl_rows_query": q_bl_rows_query,
         "bl_query": q_bl_query,
+        "bl_status_vars": q_bl_status_vars,
         "bl_format_desc": q_bl_format_desc,
         "bl_user_var": q_bl_user_var,
         "bl_tablemap": q_bl_tablemap,
@@ -556,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_neardup_minhash": q_doc_neardup_minhash,
+        "doc_neardup_clusters": q_doc_neardup_clusters,
         "doc_neardup_jaccard": q_doc_neardup_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -660,6 +681,75 @@ def oracle_sql() -> dict[str, str]:
         f"schema_name, {q_text} AS query, {_stmt_kind_sql(q_text)} AS "
         f"statement_kind FROM {FX} WHERE tokens[5] = 2 ORDER BY doc_id"
     )
+
+    # status-vars block: a variable-width key/value walk (query.rs:75-177)
+    # re-implemented as a recursive CTE over the raw tokens. Each step
+    # consumes one entry (or one NUL-terminated name of Q_UPDATED_DB_NAMES,
+    # key 12 -> pseudo-key 112) and advances by the key's width. SQL_MODE
+    # reads 6 of its 8 bytes (bits used are <= 30; 8-byte math would
+    # overflow BIGINT on adversarial high bytes).
+    def _uvar(nbytes: int) -> str:
+        return "(" + " + ".join(
+            f"tokens[vpos+{k}]::BIGINT * {1 << (8 * k)}" for k in range(nbytes)
+        ) + ")"
+
+    _sv_u32, _sv_u48 = _uvar(4), _uvar(6)
+    _sv_u16 = lambda k: (f"(tokens[vpos+{k}]::BIGINT + "
+                         f"tokens[vpos+{k + 1}]::BIGINT * 256)")  # noqa: E731
+    out["bl_status_vars"] = f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, tokens, {_u(30, 2)} AS svl FROM {FX} WHERE tokens[5] = 2
+),
+walk AS (
+  SELECT doc_id, tokens, 33::BIGINT AS pos, (33 + svl)::BIGINT AS end_pos,
+         0::BIGINT AS names_left, CAST(NULL AS INTEGER) AS key,
+         CAST(NULL AS BIGINT) AS vpos, CAST(NULL AS BIGINT) AS vlen
+  FROM q
+  UNION ALL
+  SELECT doc_id, tokens,
+    pos + CASE WHEN names_left > 0
+               THEN list_position(tokens[pos:end_pos-1], 0)::BIGINT
+               ELSE CASE tokens[pos]
+                 WHEN 0 THEN 5 WHEN 1 THEN 9
+                 WHEN 2 THEN 3 + tokens[pos+1]
+                 WHEN 3 THEN 5 WHEN 4 THEN 7
+                 WHEN 5 THEN 2 + tokens[pos+1]
+                 WHEN 6 THEN 2 + tokens[pos+1]
+                 WHEN 7 THEN 3 WHEN 8 THEN 3
+                 WHEN 9 THEN 9 WHEN 10 THEN 5
+                 WHEN 11 THEN 3 + tokens[pos+1] + tokens[pos + 2 + tokens[pos+1]]
+                 WHEN 12 THEN 2 WHEN 13 THEN 5 END
+          END AS pos,
+    end_pos,
+    CASE WHEN names_left > 0 THEN names_left - 1
+         WHEN tokens[pos] = 12 THEN tokens[pos+1]::BIGINT
+         ELSE 0 END AS names_left,
+    CASE WHEN names_left > 0 THEN 112 ELSE tokens[pos]::INTEGER END AS key,
+    CASE WHEN names_left > 0 THEN pos ELSE pos + 1 END AS vpos,
+    CASE WHEN names_left > 0
+         THEN list_position(tokens[pos:end_pos-1], 0)::BIGINT - 1
+         ELSE NULL END AS vlen
+  FROM walk WHERE pos < end_pos
+)
+SELECT doc_id,
+  (count(*) FILTER (key != 112))::INTEGER AS n_vars,
+  max(CASE WHEN key=0 THEN (({_sv_u32} >> 14) & 1)::INTEGER END) AS f2_auto_is_null,
+  max(CASE WHEN key=0 THEN (1 - (({_sv_u32} >> 19) & 1))::INTEGER END) AS f2_auto_commit,
+  max(CASE WHEN key=0 THEN (1 - (({_sv_u32} >> 26) & 1))::INTEGER END) AS f2_fk_checks,
+  max(CASE WHEN key=0 THEN (1 - (({_sv_u32} >> 27) & 1))::INTEGER END) AS f2_unique_checks,
+  max(CASE WHEN key=1 THEN (({_sv_u48} >> 5) & 1)::INTEGER END) AS sm_only_full_group_by,
+  max(CASE WHEN key=1 THEN (({_sv_u48} >> 21) & 1)::INTEGER END) AS sm_strict_trans_tables,
+  max(CASE WHEN key=1 THEN (({_sv_u48} >> 30) & 1)::INTEGER END) AS sm_no_engine_subst,
+  max(CASE WHEN key=4 THEN {_sv_u16(0)} END) AS cs_client,
+  max(CASE WHEN key=4 THEN {_sv_u16(2)} END) AS cs_conn,
+  max(CASE WHEN key=4 THEN {_sv_u16(4)} END) AS cs_server,
+  max(CASE WHEN key=6 THEN {_extract_string_sql('vpos+1', 'vpos+tokens[vpos]')} END) AS catalog_nz,
+  string_agg(CASE WHEN key=112 THEN
+    array_to_string(list_transform(tokens[vpos:vpos+vlen-1], x -> chr(x)), '')
+  END, ',' ORDER BY vpos) AS updated_dbs
+FROM walk WHERE key IS NOT NULL
+GROUP BY doc_id ORDER BY doc_id
+"""
 
     out["bl_format_desc"] = (
         f"SELECT doc_id, {_u(19, 2)} AS binlog_version, "
@@ -871,20 +961,38 @@ def oracle_sql() -> dict[str, str]:
         key = " || '_' || ".join(cols)
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig")
     bands_sql = " UNION ALL ".join(band_rows)
-    out["doc_neardup_minhash"] = (
+    # shared LSH prefix with the per-bucket size cap (64, matching
+    # textops._lsh_banded) applied before the band self-join
+    _lsh_prefix = (
         f"WITH s AS (SELECT doc_id, {shingle} AS sh FROM documents), "
         f"sig AS (SELECT doc_id, {mh_cols} FROM s), "
-        f"banded AS ({bands_sql}), "
+        f"banded0 AS ({bands_sql}), "
+        f"keep AS (SELECT band, band_key FROM banded0 GROUP BY band, band_key "
+        f"HAVING count(*) <= 64), "
+        f"banded AS (SELECT banded0.* FROM banded0 JOIN keep ON "
+        f"banded0.band = keep.band AND banded0.band_key = keep.band_key), "
         f"cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
         f"FROM banded l JOIN banded r ON l.band = r.band AND "
-        f"l.band_key = r.band_key AND l.doc_id < r.doc_id) "
-        f"SELECT doc_a, doc_b, round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        f"l.band_key = r.band_key AND l.doc_id < r.doc_id), "
+        f"pairs AS (SELECT doc_a, doc_b, "
+        f"round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
         f"len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard "
         f"FROM cand JOIN s a ON cand.doc_a = a.doc_id "
         f"JOIN s b ON cand.doc_b = b.doc_id "
         f"WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-        f"len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5 "
-        f"ORDER BY doc_a, doc_b"
+        f"len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5) "
+    )
+    out["doc_neardup_minhash"] = (
+        _lsh_prefix + "SELECT doc_a, doc_b, jaccard FROM pairs "
+        "ORDER BY doc_a, doc_b"
+    )
+    out["doc_neardup_clusters"] = (
+        _lsh_prefix +
+        ", best AS (SELECT doc_b, min(doc_a) AS rep_min FROM pairs GROUP BY doc_b) "
+        "SELECT d.doc_id, coalesce(best.rep_min, d.doc_id) AS rep_id, "
+        "(coalesce(best.rep_min, d.doc_id) = d.doc_id)::INTEGER AS is_rep "
+        "FROM documents d LEFT JOIN best ON d.doc_id = best.doc_b "
+        "ORDER BY d.doc_id"
     )
 
     out["doc_neardup_jaccard"] = (
@@ -991,7 +1099,105 @@ def oracle_sql() -> dict[str, str]:
         f"ORDER BY source, table_id"
     )
 
-    # bl_rows_decode and multimodal_features: non-SQL-expressible (stateful
-    # cross-event enrich + variable-layout decode; opaque-binary feature
-    # extraction) -> rows-only driver check.
+    # rows-image cell decode: the fixture table layouts are known
+    # (tests/events/*/sql.sql -> the 2-column Long+VarChar(160) table and the
+    # 9-column table of 31_update_rows_v2), so the cell walk IS
+    # SQL-expressible with a hardcoded layout dimension + a recursive CTE
+    # that advances cell-by-cell (VarChar/Blob widths read from the data).
+    # Float/Double are reconstructed from their IEEE754 bytes exactly.
+    _f32 = (
+        "(CASE WHEN ((u32 >> 31) & 1) = 1 THEN -1.0 ELSE 1.0 END) * "
+        "(CASE WHEN ((u32 >> 23) & 255) = 0 THEN (u32 & 8388607)::DOUBLE * power(2.0, -149) "
+        "ELSE ((u32 & 8388607) + 8388608)::DOUBLE * power(2.0, ((u32 >> 23) & 255) - 150) END)"
+    )
+    out["bl_rows_decode"] = f"""
+WITH RECURSIVE ev AS (
+  SELECT doc_id,
+    CASE tokens[5] WHEN 30 THEN 'WRITE_ROWS_V2' WHEN 31 THEN 'UPDATE_ROWS_V2'
+                   ELSE 'DELETE_ROWS_V2' END AS sink,
+    {_u(19, 6)} AS table_id,
+    tokens[30]::INTEGER AS cc,
+    ((tokens[30] + 7) // 8)::BIGINT AS bl,
+    (CASE WHEN tokens[5] = 31 THEN 2 ELSE 1 END)::BIGINT AS n_images,
+    tokens, n_tok
+  FROM {FX} WHERE tokens[5] IN (30, 31, 32)
+),
+lay(lcc, ci, tid, m0) AS (VALUES
+  (2, 0, 3, 0), (2, 1, 15, 160),
+  (9, 0, 3, 0), (9, 1, 15, 400), (9, 2, 15, 160),
+  (9, 3, 252, 2), (9, 4, 252, 3), (9, 5, 252, 4),
+  (9, 6, 4, 0), (9, 7, 5, 0), (9, 8, 246, 5)
+),
+walk AS (
+  SELECT doc_id, sink, table_id, cc, bl, tokens,
+    (31 + bl * n_images + bl)::BIGINT AS pos,
+    (n_tok - 3)::BIGINT AS data_end,
+    0 AS image_idx, 0 AS col_idx,
+    CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS bytes_csv,
+    CAST(NULL AS DOUBLE) AS num_val
+  FROM ev
+  UNION ALL
+  SELECT doc_id, sink, table_id, cc, bl, tokens,
+    CASE WHEN col_idx >= cc THEN pos + bl ELSE pos + w.width END AS pos,
+    data_end,
+    CASE WHEN col_idx >= cc THEN image_idx + 1 ELSE image_idx END AS image_idx,
+    CASE WHEN col_idx >= cc THEN 0 ELSE col_idx + 1 END AS col_idx,
+    CASE WHEN col_idx >= cc THEN NULL ELSE w.kind END AS kind,
+    CASE WHEN col_idx >= cc THEN NULL ELSE w.bcsv END AS bytes_csv,
+    CASE WHEN col_idx >= cc THEN NULL ELSE w.nval END AS num_val
+  FROM walk
+  JOIN lay ON lay.lcc = walk.cc AND lay.ci = least(walk.col_idx, walk.cc - 1)
+  CROSS JOIN LATERAL (
+    SELECT
+      CASE lay.tid WHEN 3 THEN 4 WHEN 4 THEN 4 WHEN 5 THEN 8 WHEN 246 THEN lay.m0
+        WHEN 15 THEN CASE WHEN lay.m0 > 255
+          THEN 2 + tokens[pos] + tokens[pos+1]*256 ELSE 1 + tokens[pos] END
+        WHEN 252 THEN lay.m0 + tokens[pos]
+          + CASE WHEN lay.m0 >= 2 THEN tokens[pos+1]*256 ELSE 0 END
+          + CASE WHEN lay.m0 >= 3 THEN tokens[pos+2]*65536 ELSE 0 END
+          + CASE WHEN lay.m0 >= 4 THEN tokens[pos+3]*16777216 ELSE 0 END
+      END::BIGINT AS width,
+      CASE lay.tid WHEN 3 THEN 'Long' WHEN 4 THEN 'Float' WHEN 5 THEN 'Double'
+        WHEN 246 THEN 'NewDecimal' WHEN 15 THEN 'VarChar' WHEN 252 THEN 'Blob' END AS kind,
+      CASE lay.tid
+        WHEN 3 THEN array_to_string(tokens[pos:pos+3], ',')
+        WHEN 246 THEN array_to_string(tokens[pos:pos+lay.m0-1], ',')
+        WHEN 15 THEN CASE WHEN lay.m0 > 255
+          THEN array_to_string(tokens[pos+2:pos+1+tokens[pos]+tokens[pos+1]*256], ',')
+          ELSE array_to_string(tokens[pos+1:pos+tokens[pos]], ',') END
+        WHEN 252 THEN array_to_string(
+          tokens[pos+lay.m0 : pos+lay.m0-1 + tokens[pos]
+            + CASE WHEN lay.m0 >= 2 THEN tokens[pos+1]*256 ELSE 0 END
+            + CASE WHEN lay.m0 >= 3 THEN tokens[pos+2]*65536 ELSE 0 END
+            + CASE WHEN lay.m0 >= 4 THEN tokens[pos+3]*16777216 ELSE 0 END], ',')
+        ELSE NULL END AS bcsv,
+      CASE lay.tid
+        WHEN 4 THEN (SELECT {_f32} FROM (SELECT (tokens[pos]::BIGINT
+            + tokens[pos+1]::BIGINT*256 + tokens[pos+2]::BIGINT*65536
+            + tokens[pos+3]::BIGINT*16777216) AS u32))
+        WHEN 5 THEN (SELECT
+            (CASE WHEN b7 >= 128 THEN -1.0 ELSE 1.0 END) *
+            (CASE WHEN e = 0 THEN m::DOUBLE * power(2.0, -1074)
+                  ELSE (m + 4503599627370496)::DOUBLE * power(2.0, e - 1075) END)
+          FROM (SELECT tokens[pos+7]::BIGINT AS b7,
+                ((tokens[pos+7]::BIGINT & 127) * 16 + (tokens[pos+6]::BIGINT >> 4)) AS e,
+                ((tokens[pos+6]::BIGINT & 15) * 281474976710656
+                 + tokens[pos+5]::BIGINT * 1099511627776
+                 + tokens[pos+4]::BIGINT * 4294967296
+                 + tokens[pos+3]::BIGINT * 16777216
+                 + tokens[pos+2]::BIGINT * 65536
+                 + tokens[pos+1]::BIGINT * 256
+                 + tokens[pos]::BIGINT) AS m))
+        ELSE NULL END AS nval
+  ) w
+  WHERE walk.col_idx < walk.cc OR walk.pos < walk.data_end
+)
+SELECT doc_id, sink, table_id, cc::INTEGER AS column_count,
+       image_idx, (col_idx - 1) AS col_idx, kind, bytes_csv, num_val
+FROM walk WHERE kind IS NOT NULL
+ORDER BY doc_id, image_idx, col_idx
+"""
+
+    # multimodal_features: opaque-binary feature extraction -> rows-only
+    # driver check (the codec itself is not SQL-expressible).
     return {k: v for k, v in out.items() if v is not None}

@@ -219,11 +219,15 @@ def run_pipeline(
 
         from concurrent.futures import ThreadPoolExecutor
 
-        # 4 concurrent jobs pipeline the small sinks behind the hot ones;
-        # more just thrashes the executor (measured: pool=4 7s, pool=8 17s,
-        # sequential 21s on the sf0.1 bench input)
-        with ThreadPoolExecutor(max_workers=min(4, len(present))) as pool:
-            list(pool.map(decode_one, sorted(present)))
+        # hot sinks first (LPT-style scheduling: starting the longest jobs
+        # first avoids a hot-sink tail after the small ones drain) with a
+        # pool of 6; measured on the sf0.1 bench input: alpha-order pool=4
+        # 15.4s -> hot-first pool=4 11.0s -> hot-first pool=6 9.7s; pool=8
+        # thrashes Python workers (17s in the round-1 measurement)
+        hot = [s for s in layout.SALT_FACTORS if s in present]
+        cold = [s for s in sorted(present) if s not in layout.SALT_FACTORS]
+        with ThreadPoolExecutor(max_workers=min(6, len(present))) as pool:
+            list(pool.map(decode_one, hot + cold))
         metrics["stages"]["decode"] = {
             "wall_sec": round(time.time() - t0, 3), "sinks": len(present)}
         ck.mark("decode", sinks=len(present))

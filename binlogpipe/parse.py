@@ -305,15 +305,17 @@ def _query_vectorized(tokens: pd.Series):
     schema = [None] * n
     query = [None] * n
     err = [None] * n
-    for i in range(n):
+    # .tolist() once: bytes slicing with Python ints is several times
+    # faster than with np.int64 scalars (each np index pays __index__)
+    for i, (o, sv, sl, ql) in enumerate(zip(
+            sv0.tolist(), svl.tolist(), slen.tolist(), qlen.tolist())):
         try:
-            o = sv0[i]
-            s = o + svl[i]
+            s = o + sv
             status[i] = _status_vars_json(buf[o:s])
-            e = s + slen[i]
+            e = s + sl
             schema[i] = buf[s:e].decode("utf-8")
             q0 = e + 1
-            query[i] = c.extract_string(buf[q0:q0 + qlen[i]])
+            query[i] = c.extract_string(buf[q0:q0 + ql])
         except Exception as ex:  # noqa: BLE001 — quarantine, don't panic
             err[i] = f"{type(ex).__name__}: {ex}"
     return _mask_errors({
@@ -334,7 +336,8 @@ def _rotate_vectorized(tokens: pd.Series):
     s0 = fl.offs + H + 8
     buf = fl.buf
     names = [
-        c.utf8_lossy(buf[s0[i]:s0[i] + str_len[i]]) for i in range(fl.n)
+        buf[o:o + ln].decode("utf-8", errors="replace")
+        for o, ln in zip(s0.tolist(), str_len.tolist())
     ]
     return pd.DataFrame({"position": pos, "next_binlog": names,
                          "parse_error": None})
@@ -349,7 +352,8 @@ def _rows_query_vectorized(tokens: pd.Series):
     s0 = fl.offs + H + 1
     buf = fl.buf
     texts = [
-        c.string_var(buf[s0[i]:s0[i] + ln[i]], int(ln[i])) for i in range(fl.n)
+        buf[o:o + k].decode("utf-8", errors="replace")
+        for o, k in zip(s0.tolist(), ln.tolist())
     ]
     return pd.DataFrame({"length": ln.astype("int32"), "query_text": texts,
                          "parse_error": None})
@@ -373,8 +377,8 @@ def _format_desc_vectorized(tokens: pd.Series):
     buf = fl.buf
     i32 = fl.flat.astype(np.int32)
     sv0 = fl.offs + H + 2
-    versions = [c.extract_string(buf[sv0[i]:sv0[i] + 50]) for i in range(fl.n)]
-    supported = [i32[st0[i]:st0[i] + num[i]] for i in range(fl.n)]
+    versions = [c.extract_string(buf[o:o + 50]) for o in sv0.tolist()]
+    supported = [i32[o:o + k] for o, k in zip(st0.tolist(), num.tolist())]
     return pd.DataFrame({
         "binlog_version": ver.astype("int32"),
         "mysql_server_version": versions,
@@ -397,7 +401,7 @@ def _prev_gtids_vectorized(tokens: pd.Series):
     g0 = fl.offs + H
     buf_size = fl.u(0, 4, base=g0 + n_bytes)
     i32 = fl.flat.astype(np.int32)
-    sets = [i32[g0[i]:g0[i] + n_bytes[i]] for i in range(fl.n)]
+    sets = [i32[o:o + k] for o, k in zip(g0.tolist(), n_bytes.tolist())]
     return pd.DataFrame({"gtid_sets": sets, "buf_size": buf_size,
                          "parse_error": None})
 
@@ -579,6 +583,51 @@ QUERY_SCHEMA = _struct_with_error([
     T.StructField("schema", T.StringType()),
     T.StructField("query", T.StringType()),
 ])
+
+
+STATUS_TYPED_SCHEMA = _struct_with_error([
+    T.StructField("n_vars", T.IntegerType()),
+    T.StructField("f2_auto_is_null", T.IntegerType()),
+    T.StructField("f2_auto_commit", T.IntegerType()),
+    T.StructField("f2_fk_checks", T.IntegerType()),
+    T.StructField("f2_unique_checks", T.IntegerType()),
+    T.StructField("sm_only_full_group_by", T.IntegerType()),
+    T.StructField("sm_strict_trans_tables", T.IntegerType()),
+    T.StructField("sm_no_engine_subst", T.IntegerType()),
+    T.StructField("cs_client", T.LongType()),
+    T.StructField("cs_conn", T.LongType()),
+    T.StructField("cs_server", T.LongType()),
+    T.StructField("catalog_nz", T.StringType()),
+    T.StructField("updated_dbs", T.StringType()),
+])
+
+
+def decode_status_typed_py(buf: bytes) -> dict:
+    """Typed projection of the Query status-vars block (query.rs:75-177):
+    the inverted-FLAGS2 booleans, three SQL_MODE bits, the charset triple,
+    catalog, and updated-db names as flat oracle-checkable columns. Reuses
+    the golden-tested `parse_status_vars` sub-parser."""
+    svl = int.from_bytes(buf[H + 11:H + 13], "little")
+    entries = parse_status_vars(buf[H + 13:H + 13 + svl])
+    by_key = {e["key"]: e for e in entries}
+    b = lambda e, k: None if e is None else int(e[k])  # noqa: E731
+    e0, e1, e4 = by_key.get(0), by_key.get(1), by_key.get(4)
+    e6, e12 = by_key.get(6), by_key.get(12)
+    return {
+        "n_vars": len(entries),
+        "f2_auto_is_null": b(e0, "auto_is_null"),
+        "f2_auto_commit": b(e0, "auto_commit"),
+        "f2_fk_checks": b(e0, "foreign_key_checks"),
+        "f2_unique_checks": b(e0, "unique_checks"),
+        "sm_only_full_group_by": b(e1, "only_full_group_by"),
+        "sm_strict_trans_tables": b(e1, "strict_trans_tables"),
+        "sm_no_engine_subst": b(e1, "no_engine_substitution"),
+        "cs_client": None if e4 is None else e4["client"],
+        "cs_conn": None if e4 is None else e4["conn"],
+        "cs_server": None if e4 is None else e4["server"],
+        "catalog_nz": None if e6 is None else e6["value"],
+        "updated_dbs": None if e12 is None else ",".join(e12["value"]),
+    }
 
 
 def decode_rotate_py(buf: bytes) -> dict:

@@ -148,11 +148,13 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", *sig_cols).orderBy("doc_id")
 
 
-def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
-    """MinHash + LSH near-dup: band the 16-slot signature into 4 bands of 4,
-    bucket-join on (band, band signature), then verify candidates with exact
-    shingle Jaccard. The band join is the scale path — candidate generation
-    is an equi-join on band keys, never an all-pairs product."""
+def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
+    """Banded MinHash signature rows (doc_id, band, band_key), with band
+    buckets larger than `max_bucket` dropped. The cap bounds the band
+    self-join: an identical-doc cluster of k docs otherwise emits O(k²)
+    candidates in EVERY band — at 100 TB one boilerplate page melts the
+    stage. Dropped buckets trade recall only for mega-clusters (k > cap),
+    which exact dedup already catches."""
     sig = minhash_signature(docs)
     bands = []
     for b in range(MINHASH_BANDS):
@@ -167,6 +169,21 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionByName(x)
+    sizes = (banded.groupBy("band", "band_key")
+             .agg(F.count("*").alias("_bsz"))
+             .where(F.col("_bsz") <= max_bucket)
+             .drop("_bsz"))
+    return banded.join(sizes, ["band", "band_key"])
+
+
+def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5,
+                      max_bucket: int = 64) -> DataFrame:
+    """MinHash + LSH near-dup: band the 16-slot signature into 4 bands of 4,
+    bucket-join on (band, band signature), then verify candidates with exact
+    shingle Jaccard. The band join is the scale path — candidate generation
+    is an equi-join on band keys (capped at `max_bucket` per bucket), never
+    an all-pairs product."""
+    banded = _lsh_banded(docs, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -193,6 +210,25 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     )
 
 
+def minhash_lsh_clusters(docs: DataFrame, jaccard_threshold: float = 0.5,
+                         max_bucket: int = 64) -> DataFrame:
+    """Near-dup output in O(n) instead of O(n + pairs): every doc maps to a
+    cluster representative — the smallest doc_id among its verified LSH
+    neighbors (or itself). One-hop min, not a full connected-components
+    pass: chains longer than one hop keep distinct reps, which is the
+    standard dedup-keep-one approximation (each rep survives, every doc
+    pointing elsewhere is a candidate drop). At 100 TB this is the mode to
+    run — the pair list of a boilerplate cluster is quadratic, this isn't."""
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold, max_bucket)
+    best = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("rep_min"))
+    return (docs.select("doc_id")
+            .join(best, docs["doc_id"] == best["doc_b"], "left")
+            .select("doc_id",
+                    F.coalesce(F.col("rep_min"), F.col("doc_id")).alias("rep_id"))
+            .withColumn("is_rep", (F.col("rep_id") == F.col("doc_id")).cast("int"))
+            .orderBy("doc_id"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                         max_df: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard near-dup via an inverted shingle index.
@@ -205,9 +241,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     precision. The oracle applies the identical cap."""
     sh = shingle_sets(docs)
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    n_docs = docs.count()
+    # the df cap must not trigger a driver-side count() (a full extra scan
+    # at 100 TB): broadcast the 1-row count aggregate into the plan instead
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
     rare = (inv.groupBy("sh").agg(F.count("*").alias("df"))
-            .where(F.col("df") <= int(max_df * n_docs))
+            .crossJoin(n_docs)
+            .where(F.col("df") <= F.floor(F.col("_n_docs") * F.lit(max_df)))
             .select("sh"))
     inv_r = inv.join(rare, "sh")
     a = inv_r.select(F.col("doc_id").alias("doc_a"), "sh")
