@@ -481,6 +481,10 @@ def q_emb_ivf_ann(spark, sf_dir):
     return vecops.ivf_ann(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20)
 
 
+def q_emb_ivf_recall(spark, sf_dir):
+    return vecops.ivf_recall(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20, 2)
+
+
 def q_emb_neardup(spark, sf_dir):
     return vecops.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), 0.35, 2)
 
@@ -581,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
+        "emb_ivf_recall": q_emb_ivf_recall,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
     }
@@ -1027,10 +1032,7 @@ GROUP BY doc_id ORDER BY doc_id
     )
 
     bucket4 = (
-        "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8 + "
-        "(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4 + "
-        "(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2 + "
-        "(CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END))"
+        vecops.plane_bucket_sql("embedding", 4)
     )
     cos_ab = _cos_sql("a.qv", "b.cv")
     out["emb_lsh_ann"] = (
@@ -1047,31 +1049,90 @@ GROUP BY doc_id ORDER BY doc_id
         f"AS sim FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
     )
 
-    cos_ec = _cos_sql("e.embedding", "c.cv")
+    # IVF oracle: the SAME deterministic k-means the Spark side trains
+    # driver-side (vecops.kmeans_centroids), re-expressed as a chained CTE —
+    # one (score, assign, mean, round-6dp) block per iteration. Per-iteration
+    # 6 dp rounding makes both engines' summation-order FP noise vanish.
+    def _kmeans_cte(n_centroids: int, iters: int, sample: int) -> str:
+        cos_xc = _cos_sql("x.ev", "c.cv")
+        parts = [
+            f"x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) "
+            f"AS ev FROM embeddings WHERE vec_id < {sample})",
+            f"c0 AS (SELECT vec_id::INTEGER AS cid, ev AS cv FROM x "
+            f"WHERE vec_id < {n_centroids})",
+        ]
+        for i in range(1, iters + 1):
+            p = i - 1
+            parts.append(
+                f"s{i} AS (SELECT x.vec_id, c.cid, {cos_xc} AS s "
+                f"FROM x CROSS JOIN c{p} c)")
+            parts.append(
+                f"a{i} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+                f"row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) "
+                f"AS rn FROM s{i}) WHERE rn = 1)")
+            parts.append(
+                f"m{i} AS (SELECT a.cid, d.dim, avg(x.ev[d.dim]) AS v "
+                f"FROM a{i} a JOIN x ON a.vec_id = x.vec_id "
+                f"CROSS JOIN range(1, {vecops.EMB_DIM + 1}) d(dim) "
+                f"GROUP BY a.cid, d.dim)")
+            parts.append(
+                f"c{i} AS (SELECT p.cid, list_transform(coalesce("
+                f"(SELECT list(m.v ORDER BY m.dim) FROM m{i} m "
+                f"WHERE m.cid = p.cid), p.cv), v -> round(v, 6)) AS cv "
+                f"FROM c{p} p)")
+        return ", ".join(parts)
+
+    _kc = f"c{vecops.IVF_ITERS}"
+    cos_ec = _cos_sql("e.ev", "c.cv")
     cos_qn = _cos_sql("a.qv", "b.cv")
-    out["emb_ivf_ann"] = (
-        f"WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-        f"WHERE vec_id < 8), "
-        f"assign AS (SELECT vec_id, embedding, cid FROM ("
-        f"SELECT e.vec_id, e.embedding, c.cid, row_number() OVER "
+    _ivf_body = (
+        "WITH " + _kmeans_cte(8, vecops.IVF_ITERS, vecops.IVF_SAMPLE) +
+        f", e2 AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) "
+        f"AS ev FROM embeddings), "
+        f"assign AS (SELECT vec_id, ev, cid FROM (SELECT e.vec_id, e.ev, "
+        f"c.cid, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos_ec} DESC, c.cid ASC) AS rn "
+        f"FROM e2 e CROSS JOIN {_kc} c) WHERE rn = 1), "
+        f"probes AS (SELECT vec_id AS query_id, ev AS qv, cid FROM ("
+        f"SELECT e.vec_id, e.ev, c.cid, row_number() OVER "
         f"(PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid ASC) AS rn "
-        f"FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), "
-        f"a AS (SELECT cid, vec_id AS query_id, embedding AS qv FROM assign "
-        f"WHERE vec_id < 20), "
-        f"b AS (SELECT cid, vec_id AS neighbor_id, embedding AS cv "
-        f"FROM assign), "
+        f"FROM e2 e CROSS JOIN {_kc} c WHERE e.vec_id < 20) WHERE rn <= 2), "
+        f"b AS (SELECT cid, vec_id AS neighbor_id, ev AS cv FROM assign), "
         f"scored AS (SELECT query_id, neighbor_id, {cos_qn} AS sim "
-        f"FROM a JOIN b ON a.cid = b.cid AND query_id != neighbor_id), "
+        f"FROM probes a JOIN b ON a.cid = b.cid AND query_id != neighbor_id), "
         f"ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
         f"(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
-        f"FROM scored) "
-        f"SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(sim, 6) "
-        f"AS sim FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
+        f"FROM scored)"
+    )
+    out["emb_ivf_ann"] = (
+        _ivf_body + " SELECT query_id, rank::BIGINT AS rank, neighbor_id, "
+        "round(sim, 6) AS sim FROM ranked WHERE rank <= 3 "
+        "ORDER BY query_id, rank"
+    )
+
+    cos_exact = _cos_sql("q.qv", "n.nv")
+    out["emb_ivf_recall"] = (
+        _ivf_body +
+        f", q0 AS (SELECT vec_id AS query_id, list_transform(embedding, "
+        f"v -> v::DOUBLE) AS qv FROM embeddings WHERE vec_id < 20), "
+        f"n0 AS (SELECT vec_id AS neighbor_id, list_transform(embedding, "
+        f"v -> v::DOUBLE) AS nv FROM embeddings), "
+        f"exact AS (SELECT query_id, neighbor_id FROM (SELECT q.query_id, "
+        f"n.neighbor_id, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {cos_exact} DESC, n.neighbor_id ASC) AS rank "
+        f"FROM q0 q CROSS JOIN n0 n WHERE n.neighbor_id != q.query_id) "
+        f"WHERE rank <= 3), "
+        f"hits AS (SELECT e.query_id, count(*)::BIGINT AS n_hits FROM exact e "
+        f"JOIN ranked r ON e.query_id = r.query_id AND "
+        f"e.neighbor_id = r.neighbor_id AND r.rank <= 3 GROUP BY e.query_id) "
+        f"SELECT qq.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, "
+        f"round(coalesce(h.n_hits, 0)::DOUBLE / 3.0, 6) AS recall "
+        f"FROM (SELECT DISTINCT query_id FROM exact) qq "
+        f"LEFT JOIN hits h ON qq.query_id = h.query_id ORDER BY qq.query_id"
     )
 
     bucket2 = (
-        "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 2 + "
-        "(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END))"
+        vecops.plane_bucket_sql("embedding", 2)
     )
     cos_pair = _cos_sql("a.va", "b.vb")
     out["emb_neardup"] = (
@@ -1198,6 +1259,47 @@ FROM walk WHERE kind IS NOT NULL
 ORDER BY doc_id, image_idx, col_idx
 """
 
-    # multimodal_features: opaque-binary feature extraction -> rows-only
-    # driver check (the codec itself is not SQL-expressible).
+    # multimodal: the synthetic payloads are REAL containers (BMP/WAV/BVID)
+    # generated deterministically from documents.text, and the features are
+    # integer-exact stats over the DECODED content — so the oracle can
+    # replicate generation+decode end-to-end in SQL. n_bytes checks the
+    # encoders' real header sizes (54B BMP, 44B canonical WAV, 7B BVID).
+    from binlogpipe import multimodal as _mm
+
+    _smp = [(i * _mm.VID_FRAMES) // _mm.FRAMES_SAMPLED
+            for i in range(_mm.FRAMES_SAMPLED)]
+    _img_n = _mm.IMG_W * _mm.IMG_H * 3
+    _vid_fb = _mm.VID_W * _mm.VID_H
+    _nb_img = 54 + _img_n
+    _nb_aud = 44 + 2 * _mm.AUDIO_SAMPLES
+    _nb_vid = 7 + _mm.VID_FRAMES * _vid_fb
+    out["multimodal_features"] = f"""
+WITH d AS (SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CASE WHEN length(text) = 0 THEN [0]
+       ELSE list_transform(string_split(text, ''), ch -> ascii(ch) % 256)
+  END AS codes
+  FROM documents),
+i AS (SELECT media_id, kind,
+  CASE kind
+    WHEN 'image' THEN list_transform(range(0, {_img_n}),
+      i -> (codes[(i % len(codes)) + 1])::BIGINT)
+    WHEN 'audio' THEN list_transform(range(0, {_mm.AUDIO_SAMPLES}),
+      i -> ((codes[(i % len(codes)) + 1] - 128) * 231)::BIGINT)
+    ELSE flatten(list_transform({_smp},
+      f -> list_transform(range(0, {_vid_fb}),
+        j -> ((codes[((f * 7 + j) % len(codes)) + 1] + f) % 256)::BIGINT)))
+  END AS ints FROM d),
+s AS (SELECT media_id, kind, ints, list_sum(ints)::BIGINT AS sm,
+      list_sum(list_transform(ints, v -> v * v))::BIGINT AS q,
+      len(ints) AS n FROM i)
+SELECT media_id, kind,
+  (CASE kind WHEN 'image' THEN {_nb_img} WHEN 'audio' THEN {_nb_aud}
+   ELSE {_nb_vid} END)::BIGINT AS n_bytes,
+  substr(sha256(array_to_string(ints, ',')), 1, 16) AS content_digest,
+  (sm::DOUBLE / n) AS feat_mean,
+  sqrt(greatest(0.0, q::DOUBLE / n - (sm::DOUBLE / n) * (sm::DOUBLE / n))) AS feat_std,
+  (CASE WHEN kind = 'video' THEN {_mm.FRAMES_SAMPLED} ELSE 1 END)::INTEGER AS n_frames_sampled
+FROM s ORDER BY media_id
+"""
     return {k: v for k, v in out.items() if v is not None}

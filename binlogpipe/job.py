@@ -79,6 +79,34 @@ def read_input(spark: SparkSession, input_path: str) -> DataFrame:
     return spark.read.parquet(input_path)
 
 
+def write_output(df: DataFrame, fmt: str, path: str,
+                 table: str | None = None,
+                 partition_by: tuple[str, ...] = ()) -> None:
+    """Sink seam: parquet directory (default) or an Iceberg table.
+
+    `fmt="iceberg"` writes `df.writeTo(table).using("iceberg")` against the
+    session's configured catalog (``spark.sql.catalog.<name>`` + the
+    iceberg-spark-runtime jar on a real cluster). The sandbox ships no
+    Iceberg jars, so the test suite exercises the dispatch and asserts the
+    failure is a clean catalog/classpath error, not silent parquet
+    fallback; parquet keeps identical layout semantics (partition pruning,
+    fan-out, snapshot-by-overwrite)."""
+    if fmt == "parquet":
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+    elif fmt == "iceberg":
+        if not table:
+            raise ValueError("iceberg sink needs a table identifier")
+        writer = df.writeTo(table)
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.using("iceberg").createOrReplace()
+    else:
+        raise ValueError(f"unknown sink_format {fmt!r}")
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -87,8 +115,14 @@ def run_pipeline(
     resume: bool = True,
     typed_sinks: bool = True,
     collect_metrics: bool = True,
+    sink_format: str = "parquet",
+    iceberg_prefix: str = "local.binlog",
 ) -> dict:
-    """Execute the full DAG. Returns a metrics dict (also persisted)."""
+    """Execute the full DAG. Returns a metrics dict (also persisted).
+
+    ``sink_format="iceberg"`` routes the routed table and every typed sink
+    through `write_output`'s Iceberg path as ``<iceberg_prefix>.<name>``
+    tables (requires a configured catalog; see write_output)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     ck = Checkpoint(out_dir, run_id)
@@ -104,11 +138,20 @@ def run_pipeline(
     if not (resume and ck.done("route")):
         t0 = time.time()
         hdr = parse.with_header(src)
+        # ORDER IS LOAD-BEARING: the pack UDF must sit directly on the
+        # with_header projection. Stacking rows_table_id +
+        # spark_partition_id (nondeterministic) + CollectMetrics BELOW the
+        # Python eval node measured 77s vs 9-13s for this same write at 6M
+        # events/local[8] (the Python node then buffers the full wide rows,
+        # tokens array included, while zipping UDF results back). The
+        # mapInArrow pack variant (parse.pack_tokens_arrow) is 74s in ANY
+        # position — full-row Arrow round-trip — so the pandas pack on just
+        # the tokens column stays.
         hdr = hdr.withColumn(
             "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
         # rows events need their u48 table_id as the enrich join key; the
-        # array form is gone after packing, so compute it here (JVM expr,
-        # mod.rs:1182-1186)
+        # array form is gone downstream of the routed write, so compute it
+        # here (JVM expr, mod.rs:1182-1186)
         hdr = hdr.withColumn(
             "rows_table_id",
             F.when(F.col("sink").isin(*ROWS_SINKS + ("TABLE_MAP",)),
@@ -119,14 +162,16 @@ def run_pipeline(
         obs = lineage.stage_observation("route")
         hdr = lineage.observe_counts(hdr, obs)
         routed_df = route.routed(hdr)
-        (routed_df.select(*ROUTED_COLS)
-         .write.mode("overwrite").partitionBy("sink").parquet(routed_path))
+        write_output(routed_df.select(*ROUTED_COLS), sink_format,
+                     routed_path, f"{iceberg_prefix}.routed", ("sink",))
         stage_metrics = {k: (int(v) if v is not None else None)
                          for k, v in obs.get.items()}
         stage_metrics["wall_sec"] = round(time.time() - t0, 3)
         metrics["stages"]["route"] = stage_metrics
         ck.mark("route", **stage_metrics)
-    routed_df = spark.read.parquet(routed_path)
+    routed_df = (spark.table(f"{iceberg_prefix}.routed")
+                 if sink_format == "iceberg"
+                 else spark.read.parquet(routed_path))
 
     # ---- stage: lineage (per input partition, from the routed table) ----
     if not (resume and ck.done("lineage")):
@@ -214,7 +259,8 @@ def run_pipeline(
                         parse.statement_kind(F.col("query_text")))
             else:
                 dec = sink_df.select(*base_cols, "tokens_bin")
-            dec.write.mode("overwrite").parquet(tgt)
+            write_output(dec, sink_format, tgt,
+                         f"{iceberg_prefix}.sink_{sink.lower()}")
             ck.mark(f"decode:{sink}")
 
         from concurrent.futures import ThreadPoolExecutor

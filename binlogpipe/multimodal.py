@@ -1,17 +1,33 @@
-"""Multimodal columns: opaque `binary` payloads + typed metadata, with
-decode / feature-extract / resize / frame-sample plumbing over
-`mapInPandas` (Arrow batches).
+"""Multimodal columns: opaque `binary` payloads + typed metadata, with real
+decode / feature-extract / resize / frame-sample over `mapInPandas`.
 
-The Spark-side contract is real and tested — schema, partitioning, UDF
-signature, batch shape. The actual codec step is STUBBED (task brief: the
-image/audio libraries are not in this container): `decode_real` raises
-NotImplementedError, and the default path uses a deterministic fake decode
-derived from the payload bytes, so tests and oracles are reproducible.
+Codecs are stdlib/numpy-pure (no PIL/libav in this container, none needed):
+
+- image  -> BMP, 24 bpp uncompressed (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  the 54-byte layout every BMP reader parses). Rows are written bottom-up
+  per the spec; pixel statistics are order-free so decode just takes the
+  pixel array.
+- audio  -> WAV PCM16 mono 8 kHz via the stdlib `wave` module (both encode
+  and decode go through `wave`, so the RIFF framing is real).
+- video  -> `BVID`, a documented synthetic frame container (magic + u8
+  n_frames/w/h + grayscale frames): stands in for a real codec so the
+  frame-sample path (decode N, sample k evenly) is exercised end-to-end.
+
+Feature math is integer-exact on both engines: decode yields integer
+pixels/samples, stats come from BIGINT sum and sum-of-squares with the SAME
+two floating divisions on each side, so the DuckDB oracle reproduces
+feat_mean/feat_std bit-for-bit (rounded to 6 dp for safety). The content
+digest is sha256 over the DECODED integer csv — content-level identity that
+survives container/codec differences, which is the dedup semantics a
+training pipeline actually wants.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import pandas as pd
@@ -38,64 +54,251 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_frames_sampled", T.IntegerType()),
 ])
 
+# synthetic-table geometry (shared with the DuckDB oracle's replication)
+IMG_W, IMG_H = 16, 8                  # 16*3 = 48 B/row -> no BMP row padding
+AUDIO_SAMPLES, AUDIO_RATE = 400, 8000
+VID_FRAMES, VID_W, VID_H = 6, 8, 8
+FRAMES_SAMPLED = 4
 
-def decode_real(payload: bytes, kind: str):
-    """Real codec hook (PIL / libav / soundfile). Not available in this
-    container — STUB."""
-    raise NotImplementedError(
-        "media codecs not installed; wire PIL/pyav here on a real cluster")
+
+# ---------------------------------------------------------------------------
+# encoders (real container formats)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: bytes, w: int, h: int) -> bytes:
+    """24bpp uncompressed BMP. `pixels` is h*w*3 BGR bytes, top row first;
+    rows are stored bottom-up per the format. Row stride must be a multiple
+    of 4 (callers use w with w*3 % 4 == 0, e.g. 16)."""
+    stride = w * 3
+    if stride % 4:
+        raise ValueError("row stride must be 4-aligned for this encoder")
+    data = b"".join(
+        pixels[(h - 1 - y) * stride:(h - y) * stride] for y in range(h))
+    size = 54 + len(data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
 
 
-def _fake_decode(payload: bytes) -> tuple[float, float]:
-    """Deterministic fake decode: derive stable 'pixel statistics' from the
-    byte content so the plumbing is testable end-to-end."""
-    import numpy as np
+def decode_bmp(payload: bytes) -> tuple[bytes, int, int]:
+    """Parse the 54-byte header, return (pixel bytes bottom-up, w, h)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    return payload[off:off + abs(h) * w * 3], w, abs(h)
 
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    if arr.size == 0:
-        return 0.0, 0.0
-    return float(round(arr.mean(), 6)), float(round(arr.std(), 6))
+
+def encode_wav(samples: list[int], rate: int = AUDIO_RATE) -> bytes:
+    """PCM16 mono WAV via the stdlib wave module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> list[int]:
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise ValueError("expected PCM16 mono")
+        raw = f.readframes(f.getnframes())
+    return list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def encode_bvid(frames: list[bytes], w: int, h: int) -> bytes:
+    """BVID synthetic frame container: 'BVID' + u8 n_frames + u8 w + u8 h +
+    n_frames grayscale frames of w*h bytes."""
+    return b"BVID" + bytes([len(frames), w, h]) + b"".join(frames)
+
+
+def decode_bvid(payload: bytes) -> tuple[list[bytes], int, int]:
+    if payload[:4] != b"BVID":
+        raise ValueError("not a BVID payload")
+    n, w, h = payload[4], payload[5], payload[6]
+    fs = w * h
+    frames = [payload[7 + i * fs:7 + (i + 1) * fs] for i in range(n)]
+    if any(len(f) != fs for f in frames):
+        raise ValueError("truncated BVID frames")
+    return frames, w, h
+
+
+def sample_frames(frames: list[bytes], k: int) -> list[bytes]:
+    """Evenly-spaced frame sampling: indices floor(i*n/k), i in 0..k-1."""
+    n = len(frames)
+    if n <= k:
+        return frames
+    return [frames[(i * n) // k] for i in range(k)]
+
+
+def decode_real(payload: bytes, kind: str) -> tuple[list[int], int]:
+    """Decode a payload to (integer content values, n_frames_sampled).
+    image -> pixel bytes; audio -> PCM16 samples; video -> bytes of the
+    FRAMES_SAMPLED evenly-sampled frames."""
+    payload = bytes(payload)
+    if kind == "image":
+        px, w, h = decode_bmp(payload)
+        # un-reverse the bottom-up row storage: content identity must be
+        # over the IMAGE (top-down), not the container's row order
+        stride = w * 3
+        top_down = b"".join(
+            px[(h - 1 - y) * stride:(h - y) * stride] for y in range(h))
+        return list(top_down), 1
+    if kind == "audio":
+        return decode_wav(payload), 1
+    if kind == "video":
+        frames, _, _ = decode_bvid(payload)
+        picked = sample_frames(frames, FRAMES_SAMPLED)
+        return [b for f in picked for b in f], len(picked)
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (deterministic from the documents table)
+# ---------------------------------------------------------------------------
+
+def _codes(text: str) -> list[int]:
+    """Character codes & 255 (the oracle mirrors with ascii(ch) % 256)."""
+    return [ord(c) & 255 for c in text] or [0]
+
+
+def synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
+    """Deterministic real-container payload for one document."""
+    codes = _codes(text)
+    n = len(codes)
+    kind = ("image", "audio", "video")[doc_id % 3]
+    if kind == "image":
+        px = bytes(codes[i % n] for i in range(IMG_W * IMG_H * 3))
+        return kind, encode_bmp(px, IMG_W, IMG_H)
+    if kind == "audio":
+        samples = [(codes[i % n] - 128) * 231 for i in range(AUDIO_SAMPLES)]
+        return kind, encode_wav(samples)
+    frames = [
+        bytes((codes[(f * 7 + j) % n] + f) % 256 for j in range(VID_W * VID_H))
+        for f in range(VID_FRAMES)
+    ]
+    return kind, encode_bvid(frames, VID_W, VID_H)
 
 
 def synth_media_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Deterministic synthetic media table derived from the documents table
-    (payload = utf-8 text bytes; metadata from n_chars) — stands in for an
-    Iceberg table with real encoded blobs."""
-    kinds = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"))
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kinds.alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        (F.col("n_chars") % 640).cast("int").alias("meta_width"),
-        (F.col("n_chars") % 480).cast("int").alias("meta_height"),
-        (F.col("n_chars") * 10).cast("int").alias("meta_duration_ms"),
-    )
-
-
-def feature_extract(media: DataFrame, frames_per_video: int = 4) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch in, one feature frame
-    out. Repartitions by media_id so batches are balanced at scale."""
+    """Deterministic synthetic media table with REAL encoded payloads
+    (BMP/WAV/BVID), derived from the documents table — stands in for an
+    object-store table of encoded blobs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
+            media_id, kinds, payloads = [], [], []
+            widths, heights, durations = [], [], []
+            for did, text in zip(b["doc_id"], b["text"]):
+                kind, payload = synth_payload(int(did), text)
+                media_id.append(int(did))
+                kinds.append(kind)
+                payloads.append(payload)
+                widths.append(IMG_W if kind == "image" else
+                              VID_W if kind == "video" else 0)
+                heights.append(IMG_H if kind == "image" else
+                               VID_H if kind == "video" else 0)
+                durations.append(
+                    1000 * AUDIO_SAMPLES // AUDIO_RATE if kind == "audio"
+                    else VID_FRAMES * 40 if kind == "video" else 0)
+            yield pd.DataFrame({
+                "media_id": media_id, "kind": kinds, "payload": payloads,
+                "meta_width": widths, "meta_height": heights,
+                "meta_duration_ms": durations,
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction / resize
+# ---------------------------------------------------------------------------
+
+def _stats(ints: list[int]) -> tuple[float, float]:
+    """Integer-exact sums, then the SAME floating ops the oracle performs —
+    bit-identical doubles across engines, so NO rounding (rounding would
+    reintroduce divergence: Python rounds half-even, DuckDB half-away)."""
+    n = len(ints)
+    if n == 0:
+        return 0.0, 0.0
+    s = sum(ints)
+    q = sum(v * v for v in ints)
+    mean = s / n
+    var = max(0.0, q / n - mean * mean)
+    return mean, var ** 0.5
+
+
+def feature_extract(media: DataFrame,
+                    frames_per_video: int = FRAMES_SAMPLED) -> DataFrame:
+    """mapInPandas feature extraction: real decode per kind, integer-exact
+    stats, content digest over the decoded csv. Repartitions by media_id so
+    batches are balanced at scale."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols: dict[str, list] = {f.name: [] for f in FEATURE_SCHEMA.fields}
             for r in b.itertuples(index=False):
                 payload = bytes(r.payload)
-                mean, std = _fake_decode(payload)
-                out.append({
-                    "media_id": r.media_id,
-                    "kind": r.kind,
-                    "n_bytes": len(payload),
-                    "content_digest": hashlib.sha256(payload).hexdigest()[:16],
-                    "feat_mean": mean,
-                    "feat_std": std,
-                    "n_frames_sampled": (
-                        frames_per_video if r.kind == "video" else 1),
-                })
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA])
+                ints, n_sampled = decode_real(payload, r.kind)
+                mean, std = _stats(ints)
+                csv = ",".join(map(str, ints))
+                cols["media_id"].append(r.media_id)
+                cols["kind"].append(r.kind)
+                cols["n_bytes"].append(len(payload))
+                cols["content_digest"].append(
+                    hashlib.sha256(csv.encode()).hexdigest()[:16])
+                cols["feat_mean"].append(mean)
+                cols["feat_std"].append(std)
+                cols["n_frames_sampled"].append(n_sampled)
+            yield pd.DataFrame(cols)
 
     return (media.repartition("media_id")
             .mapInPandas(gen, FEATURE_SCHEMA)
             .orderBy("media_id"))
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Nearest-neighbor integer downscale of BMP image payloads (other
+    kinds pass through). Re-encodes a real BMP at w/factor x h/factor —
+    the distributed shape of a preprocessing stage: binary in, binary out,
+    no driver involvement."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            payloads, widths, heights = [], [], []
+            for r in b.itertuples(index=False):
+                if r.kind != "image":
+                    payloads.append(bytes(r.payload))
+                    widths.append(r.meta_width)
+                    heights.append(r.meta_height)
+                    continue
+                px, w, h = decode_bmp(bytes(r.payload))
+                nw, nh = max(1, w // factor), max(1, h // factor)
+                rows = []
+                for y in range(nh):
+                    sy = min(h - 1, y * factor)
+                    row = bytearray()
+                    for x in range(nw):
+                        sx = min(w - 1, x * factor)
+                        o = (sy * w + sx) * 3
+                        row += px[o:o + 3]
+                    rows.append(bytes(row))
+                # pad each row's stride to 4 bytes by widening to the next
+                # 4-aligned pixel count is avoided: keep nw*3 4-aligned by
+                # construction (IMG_W=16, factor 2 -> 8*3=24, aligned)
+                payloads.append(encode_bmp(b"".join(rows), nw, nh))
+                widths.append(nw)
+                heights.append(nh)
+            out["payload"] = payloads
+            out["meta_width"] = widths
+            out["meta_height"] = heights
+            yield out
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)

@@ -126,6 +126,41 @@ def pack_tokens_udf():
     return pack
 
 
+def pack_tokens_arrow(df: DataFrame, tokens_col: str = "tokens",
+                      out_col: str = "tokens_bin") -> DataFrame:
+    """Replace the array<int32> tokens column with packed binary via a
+    pyarrow buffer rebuild inside mapInArrow: a ListArray's offsets plus its
+    uint8-cast values buffer ARE a BinaryArray (same physical layout), so
+    the conversion is one vectorized int32->uint8 cast — zero per-row
+    Python, no pandas materialization.
+
+    MEASURED DEAD END on the route hot path (kept as a utility + record):
+    mapInArrow round-trips EVERY column through the Python worker, and the
+    routed write measured ~74s vs 9-13s for the pandas pack at 6M events
+    on local[8] — in any plan position. The pandas pack's per-row numpy
+    cost is far cheaper than the full-row Arrow transfer."""
+    import pyarrow as pa
+
+    fields = [f for f in df.schema.fields if f.name != tokens_col]
+    names = [f.name for f in fields]
+    out_schema = T.StructType(
+        fields + [T.StructField(out_col, T.BinaryType())])
+
+    def conv(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index(tokens_col))
+            u8 = arr.values.cast(pa.uint8())
+            packed = pa.Array.from_buffers(
+                pa.binary(), len(arr),
+                [arr.buffers()[0], arr.offsets.buffers()[1], u8.buffers()[1]],
+                null_count=arr.null_count, offset=arr.offset)
+            cols = [b.column(b.schema.get_field_index(n)) for n in names]
+            yield pa.RecordBatch.from_arrays(cols + [packed],
+                                             names=names + [out_col])
+
+    return df.mapInArrow(conv, out_schema)
+
+
 def unpack_tokens_udf():
     """packed binary -> array<int32> (for token-array equality checks and
     any consumer that wants the contract form back)."""

@@ -26,6 +26,11 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # Spark 4: pandas-UDF eval batches are governed by THIS knob, which
+        # defaults to 100 rows — every UDF was paying per-batch Python
+        # overhead 200x more often than intended. The Arrow knob above only
+        # bounds createDataFrame/toPandas and mapInPandas/mapInArrow.
+        .config("spark.sql.execution.python.udf.maxRecordsPerBatch", "20000")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.parquet.compression.codec", "snappy")

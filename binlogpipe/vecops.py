@@ -25,6 +25,62 @@ def _cosine(a: str, b: str) -> str:
             f"(({NORM.format(a=a)}) * ({NORM.format(a=b)}))")
 
 
+# ---------------------------------------------------------------------------
+# deterministic shared constants (Spark exprs and the DuckDB oracle inline
+# the SAME literals, so bucket/centroid math is bit-identical on both sides)
+# ---------------------------------------------------------------------------
+
+LSH_SEED = 0xB10C5EED
+EMB_DIM = 64
+
+
+def lsh_planes(bits: int, dim: int = EMB_DIM,
+               seed: int = LSH_SEED) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes for sign-bit LSH (a pure-Python LCG,
+    no RNG-library dependence). Coordinates uniform in [-1, 1), rounded to
+    6 dp so the inlined literals stay short and identical on both sides.
+    Random hyperplanes make P(bit differs) = angle/pi per Goemans-
+    Williamson — coordinate-axis planes (the round-1 toy) only cut on the
+    first `bits` dimensions."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round(state / float(1 << 63) - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def _plane_dot(col: str, plane: list[float]) -> str:
+    lit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+    return DOT.format(a=col, b=lit)
+
+
+def plane_bucket_expr(col: str, bits: int):
+    """Sign-bit bucket id over seeded hyperplanes as one JVM expression."""
+    planes = lsh_planes(bits)
+    bucket = None
+    for j in range(bits):
+        bit = F.when(F.expr(_plane_dot(col, planes[j])) >= 0, 1).otherwise(0)
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return bucket
+
+
+def plane_bucket_sql(col: str, bits: int) -> str:
+    """The identical bucket id in DuckDB SQL (sequential fold both sides)."""
+    planes = lsh_planes(bits)
+    parts = []
+    for j in range(bits):
+        lit = "[" + ",".join(f"{x}::DOUBLE" for x in planes[j]) + "]"
+        dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+               f"list_zip({col}, {lit}).list_transform(p -> "
+               f"p[1]::DOUBLE * p[2])), (acc, v) -> acc + v)")
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << (bits - 1 - j)}")
+    return "(" + " + ".join(parts) + ")"
+
+
 def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for the first `n_queries`
     vectors. The query side is broadcast (tiny), so the scan side streams
@@ -47,15 +103,11 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
 
 
 def signbit_lsh_ann(emb: DataFrame, bits: int = 4, k: int = 3) -> DataFrame:
-    """LSH-bucketed ANN: bucket = sign bits of the first `bits` dimensions
-    (deterministic hyperplanes = coordinate axes), then exact top-k cosine
-    within each bucket. At 100 TB the bucket key is the shuffle key; buckets
-    are bounded and the per-bucket join is local."""
-    bucket = None
-    for j in range(bits):
-        bit = F.when(F.element_at("embedding", j + 1) >= 0, 1).otherwise(0)
-        bucket = bit if bucket is None else bucket * 2 + bit
-    e = emb.withColumn("bucket", bucket)
+    """LSH-bucketed ANN: bucket = sign bits of `bits` seeded random
+    hyperplanes (lsh_planes), then exact top-k cosine within each bucket.
+    At 100 TB the bucket key is the shuffle key; buckets are bounded and
+    the per-bucket join is local."""
+    e = emb.withColumn("bucket", plane_bucket_expr("embedding", bits))
     a = e.select("bucket", F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"))
     b = e.select("bucket", F.col("vec_id").alias("neighbor_id"),
@@ -75,37 +127,70 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 4, k: int = 3) -> DataFrame:
     )
 
 
+IVF_SAMPLE = 256  # training-sample bound (vec_id < IVF_SAMPLE)
+IVF_ITERS = 4
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 8,
+                     sample: int = IVF_SAMPLE,
+                     iters: int = IVF_ITERS) -> list[list[float]]:
+    """Deterministic spherical-ish k-means quantizer, trained driver-side
+    on a bounded id-prefix sample (`vec_id < sample` — scale-independent:
+    the collect is <= sample rows regardless of table size).
+
+    Determinism contract (mirrored exactly by the DuckDB oracle's CTE
+    chain): init = first `n_centroids` vectors; assignment = max cosine,
+    ties to the lowest centroid id; update = arithmetic mean of members
+    (empty cluster keeps its centroid), every coordinate rounded to 6 dp
+    per iteration so both engines' summation-order noise washes out."""
+    import numpy as np
+
+    rows = (emb.where(F.col("vec_id") < sample).select("vec_id", "embedding")
+            .orderBy("vec_id").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)  # first max -> lowest cid
+        newC = C.copy()
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+        C = np.round(newC, 6)
+    return [[float(v) for v in row] for row in C]
+
+
+def _centroid_struct_array(cents: list[list[float]]) -> str:
+    return "array(" + ",".join(
+        "named_struct('cid', {j}, 'cv', array({vs}))".format(
+            j=j, vs=",".join(f"CAST({x} AS DOUBLE)" for x in c))
+        for j, c in enumerate(cents)) + ")"
+
+
 def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
-            n_queries: int = 20) -> DataFrame:
-    """IVF-style ANN: deterministic coarse quantizer (the first
-    `n_centroids` vectors serve as centroids), every vector is assigned to
-    its nearest centroid (inverted list), and each query searches only its
-    own list (nprobe=1). At scale the centroid assignment is a map-only
-    pass over broadcast centroid literals and the search is an equi-join on
-    centroid id — the big table never cross-joins."""
-    centroids = (emb.where(F.col("vec_id") < n_centroids)
-                 .select("vec_id", "embedding")
-                 .orderBy("vec_id").collect())
-
-    def centroid_expr(col: str):
-        # argmax over inlined centroid literals: cosine(col, c_i)
-        best_id, best_sim = None, None
-        for crow in centroids:
-            lit = "array(" + ",".join(
-                f"CAST({float(x)} AS DOUBLE)" for x in crow["embedding"]) + ")"
-            sim = F.expr(_cosine(col, lit))
-            if best_id is None:
-                best_id, best_sim = F.lit(crow["vec_id"]), sim
-            else:
-                cond = sim > best_sim
-                best_id = F.when(cond, crow["vec_id"]).otherwise(best_id)
-                best_sim = F.when(cond, sim).otherwise(best_sim)
-        return best_id
-
-    assigned = emb.withColumn("centroid", centroid_expr("embedding"))
-    q = (assigned.where(F.col("vec_id") < n_queries)
-         .select("centroid", F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv")))
+            n_queries: int = 20, nprobe: int = 2) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (kmeans_centroids), every vector
+    assigned to its nearest centroid (inverted list) in one map-only pass
+    over inlined centroid literals, queries probe their `nprobe` nearest
+    lists. The argmax is a single transform + array_max over the centroid
+    struct array — each centroid's cosine evaluates once (the round-1
+    chained-when re-evaluated every prior centroid). The search is an
+    equi-join on centroid id — the big table never cross-joins."""
+    cents = kmeans_centroids(emb, n_centroids)
+    arr = _centroid_struct_array(cents)
+    # array_max over struct(s, -cid) = max sim, ties -> lowest cid
+    scored_arr = f"transform({arr}, c -> struct({_cosine('{col}', 'c.cv')} AS s, -c.cid AS nid))"
+    assign_expr = f"-array_max({scored_arr.format(col='embedding')}).nid"
+    assigned = emb.withColumn("centroid", F.expr(assign_expr))
+    probe_expr = (
+        f"transform(slice(reverse(array_sort({scored_arr.format(col='embedding')})), "
+        f"1, {nprobe}), p -> -p.nid)")
+    q = (emb.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.explode(F.expr(probe_expr)).alias("centroid")))
     c = assigned.select("centroid", F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("cv"))
     scored = (c.join(F.broadcast(q), "centroid")
@@ -120,15 +205,31 @@ def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
             .orderBy("query_id", "rank"))
 
 
+def ivf_recall(emb: DataFrame, n_centroids: int = 8, k: int = 3,
+               n_queries: int = 20, nprobe: int = 2) -> DataFrame:
+    """recall@k of ivf_ann against the exact brute-force top-k: per query,
+    |approx ∩ exact| / k. The quality gauge the round-1 IVF lacked."""
+    exact = cosine_topk(emb, k, n_queries).select(
+        "query_id", F.col("neighbor_id").alias("nid"))
+    approx = ivf_ann(emb, n_centroids, k, n_queries, nprobe).select(
+        "query_id", F.col("neighbor_id").alias("nid"))
+    hits = (exact.join(approx, ["query_id", "nid"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    qs = exact.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6)
+                    .alias("recall"))
+            .orderBy("query_id"))
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          bits: int = 2) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing
-    a sign-bit bucket are scored (recall trades with `bits`)."""
-    bucket = None
-    for j in range(bits):
-        bit = F.when(F.element_at("embedding", j + 1) >= 0, 1).otherwise(0)
-        bucket = bit if bucket is None else bucket * 2 + bit
-    e = emb.withColumn("bucket", bucket)
+    a seeded-hyperplane sign-bit bucket are scored (recall trades with
+    `bits`)."""
+    e = emb.withColumn("bucket", plane_bucket_expr("embedding", bits))
     a = e.select("bucket", F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("va"))
     b = e.select("bucket", F.col("vec_id").alias("vec_b"),

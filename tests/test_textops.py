@@ -86,14 +86,54 @@ def test_multimodal_plumbing(spark, tmp_path):
     rows = feats.collect()
     assert len(rows) == 7
     assert feats.schema == multimodal.FEATURE_SCHEMA
-    by_id = {r["media_id"]: r for r in rows}
-    assert all(r["n_bytes"] > 0 and r["content_digest"] for r in rows)
-    videos = [r for r in rows if r["kind"] == "video"]
-    assert all(r["n_frames_sampled"] == 4 for r in videos)
-    # deterministic fake decode: same payload -> same features
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    # real container sizes: 54B BMP + pixels, 44B canonical WAV + PCM16,
+    # 7B BVID + frames
+    assert all(r["n_bytes"] == 54 + 16 * 8 * 3 for r in by_kind["image"])
+    assert all(r["n_bytes"] == 44 + 2 * 400 for r in by_kind["audio"])
+    assert all(r["n_bytes"] == 7 + 6 * 64 for r in by_kind["video"])
+    assert all(r["n_frames_sampled"] == 4 for r in by_kind["video"])
+    # deterministic: same payload -> same features
     feats2 = multimodal.feature_extract(media).collect()
     assert {r["media_id"]: r["feat_mean"] for r in feats2} == {
         r["media_id"]: r["feat_mean"] for r in rows}
-    # the real codec hook is an explicit stub
-    with pytest.raises(NotImplementedError):
+    # garbage payloads fail loudly, not silently
+    with pytest.raises(ValueError):
         multimodal.decode_real(b"x", "image")
+    with pytest.raises(ValueError):
+        multimodal.decode_real(b"nope", "video")
+
+
+def test_multimodal_codecs_roundtrip():
+    # BMP: encode -> decode recovers the pixel multiset (rows bottom-up)
+    px = bytes((i * 7) % 256 for i in range(16 * 8 * 3))
+    bmp = multimodal.encode_bmp(px, 16, 8)
+    out, w, h = multimodal.decode_bmp(bmp)
+    assert (w, h) == (16, 8) and sorted(out) == sorted(px)
+    # byte-level: bottom-up row order means first decoded row = last input row
+    assert out[:48] == px[-48:]
+    # WAV: exact PCM16 roundtrip through the stdlib wave module
+    samples = [(i * 37 - 5000) % 65536 - 32768 for i in range(400)]
+    wav = multimodal.encode_wav(samples)
+    assert multimodal.decode_wav(wav) == samples
+    assert len(wav) == 44 + 800
+    # BVID: frame roundtrip + even sampling
+    frames = [bytes((j + f) % 256 for j in range(64)) for f in range(6)]
+    b = multimodal.encode_bvid(frames, 8, 8)
+    fr, w, h = multimodal.decode_bvid(b)
+    assert fr == frames and (w, h) == (8, 8)
+    assert multimodal.sample_frames(frames, 4) == [
+        frames[0], frames[1], frames[3], frames[4]]
+
+
+def test_multimodal_resize(spark):
+    docs = spark.createDataFrame(
+        [(0, "resize me please with enough text", "src", 30)],
+        "doc_id long, text string, source string, n_chars long")
+    media = multimodal.synth_media_df(spark, docs)  # doc 0 -> image
+    small = multimodal.resize_images(media, factor=2).collect()[0]
+    assert small["meta_width"] == 8 and small["meta_height"] == 4
+    px, w, h = multimodal.decode_bmp(bytes(small["payload"]))
+    assert (w, h) == (8, 4) and len(px) == 8 * 4 * 3
