@@ -36,6 +36,9 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs
+                     # `pd` in module globals under future-annotations
+
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
@@ -148,7 +151,6 @@ def calibrations() -> dict:
       total regardless of thread count). Every UDF stage binds on it in
       local mode; N->4N real executors multiply it by 4.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from binlogpipe.session import build_spark
