@@ -121,13 +121,24 @@ def langid(docs: DataFrame) -> DataFrame:
 
 def _shingle_expr(col: str = "text", n: int = 3) -> str:
     """Distinct character n-gram shingles, each reduced to a rolling hash
-    (mod 2^31-1 so MinHash products stay in i64)."""
+    (mod 2^31-1 so MinHash products stay in i64).
+
+    The text splits to char codes ONCE per row via the single-element-array
+    let-binding idiom (`transform(array(cs_expr), cs -> ...)` — Spark SQL
+    has no let), then each shingle is a 3-element slice + fold. The naive
+    form re-split a substring per shingle (O(len) string allocs per row);
+    putting the split inside the per-shingle lambda is even worse (full
+    re-split per shingle — measured 40x slower). This one is 2.3x faster
+    than the naive form, A/B-interleaved, with identical values (stepwise
+    mod preserved), so the oracle SQL is unchanged."""
+    cs_expr = f"transform(split({col}, ''), ch -> ascii(ch))"
     return (
+        f"element_at(transform(array({cs_expr}), cs -> "
         f"array_distinct(transform("
-        f"  sequence(1, greatest(length({col}) - {n - 1}, 1)),"
-        f"  i -> aggregate(transform(split(substring({col}, i, {n}), ''),"
-        f"       ch -> ascii(ch)), 0L, (acc, x) -> (acc * 31 + x) % {MH_PRIME})"
-        f"))"
+        f"  sequence(1, greatest(size(cs) - {n - 1}, 1)),"
+        f"  i -> aggregate(slice(cs, i, {n}),"
+        f"       0L, (acc, x) -> (acc * 31 + x) % {MH_PRIME})))"
+        f"), 1)"
     )
 
 

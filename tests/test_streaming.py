@@ -55,6 +55,49 @@ def test_stream_transaction_assembler(spark, fixture_parquet, tmp_path):
     assert len(got) == 13  # one transaction per XID event (BASELINE.md §2)
 
 
+def test_transaction_assembler_multi_chunk(spark, tmp_path):
+    """applyInPandasWithState hands a group to the state fn as MULTIPLE
+    Arrow chunks with no ordering guarantee; the assembler must concat and
+    sort once before running the GTID/XID state machine. Forced here with a
+    4-row Arrow batch and a shuffled 24-event input (3 transactions)."""
+    import pandas as pd
+
+    events = []
+    log_pos = 100
+    for txn in range(3):
+        events.append(("s0", "GTID", log_pos)); log_pos += 10
+        for _ in range(5):
+            events.append(("s0", "QUERY", log_pos)); log_pos += 10
+        events.append(("s0", "XID", log_pos)); log_pos += 10
+    expected = [("s0", 100 + 70 * t, 160 + 70 * t, 7) for t in range(3)]
+    # shuffled arrival order within the micro-batch (deterministic)
+    shuffled = [events[(i * 11) % len(events)] for i in range(len(events))]
+    assert [e[2] for e in shuffled] != sorted(e[2] for e in shuffled)
+
+    d = tmp_path / "mc_in"
+    d.mkdir()
+    pdf = pd.DataFrame(shuffled, columns=["source", "sink", "log_pos"])
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d / "x"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        txns = streaming.transaction_assembler(
+            spark.readStream.schema("source string, sink string, log_pos long")
+            .parquet(str(d / "x")))
+        q = (txns.writeStream.outputMode("append").format("memory")
+             .queryName("mc_txns")
+             .option("checkpointLocation", str(tmp_path / "ck_mc"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM mc_txns").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted((r["source"], r["gtid_log_pos"], r["xid_log_pos"],
+                  r["n_events"]) for r in rows)
+    assert got == expected
+
+
 def test_stream_routed_parquet_and_checkpoint_resume(spark, fixture_parquet,
                                                      tmp_path):
     input_dir = _stage_input(fixture_parquet, tmp_path)
