@@ -864,6 +864,22 @@ EXEC_LOAD_QUERY_SCHEMA = _struct_with_error([
 ])
 
 
+@_functools.lru_cache(maxsize=4096)
+def _decode_table_map_cached(buf: bytes) -> dict:
+    return decode_table_map_py(buf)
+
+
+def decode_table_map_memo(buf: bytes) -> dict:
+    """Memoized TableMap decode. Real binlogs emit a byte-identical
+    TableMap ahead of every rows event of the same table (the event IS the
+    schema dictionary, mod.rs:23-26), so distinct payloads are bounded by
+    live (table, schema-version) pairs — same legitimacy argument as the
+    status-vars memo (_status_vars_json). Whole-payload memoization of
+    other event types would merely game the synthetic bench; don't.
+    Shallow copy because _rowwise mutates the result (parse_error)."""
+    return dict(_decode_table_map_cached(buf))
+
+
 def decode_table_map_py(buf: bytes) -> dict:
     """TableMap event (mod.rs:966-1018). The dictionary row that feeds the
     enrich broadcast join (replaces the reference's global registry,
@@ -1263,7 +1279,7 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
                         _simple(EXEC_LOAD_QUERY_SCHEMA,
                                 decode_execute_load_query_py)),
     "TABLE_MAP": (TABLE_MAP_SCHEMA,
-                  _simple(TABLE_MAP_SCHEMA, decode_table_map_py)),
+                  _simple(TABLE_MAP_SCHEMA, decode_table_map_memo)),
     "INCIDENT": (INCIDENT_SCHEMA, _simple(INCIDENT_SCHEMA, decode_incident_py)),
     "ROWS_QUERY": (ROWS_QUERY_SCHEMA,
                    lambda: _rowwise(ROWS_QUERY_SCHEMA, decode_rows_query_py,
