@@ -1,0 +1,159 @@
+"""Property tests: every whole-batch numpy fast path must be byte-for-byte
+equivalent to the scalar decoder it shadows, on fuzzed payloads — valid
+layouts with random field contents, plus truncation edge cases (where both
+paths must agree on the error row, not just the happy row)."""
+
+import json
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from binlogpipe import parse
+from binlogpipe.layout import HEADER_LEN as H
+
+settings.register_profile("ci", max_examples=40, deadline=None)
+settings.load_profile("ci")
+
+
+def _hdr(event_type: int, size: int) -> bytes:
+    return (b"\x00\x00\x00\x00" + bytes([event_type])
+            + b"\x01\x00\x00\x00" + size.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00" + b"\x00\x00")
+
+
+def _scalar_frame(fn, schema, payloads):
+    names = [f.name for f in schema.fields]
+    cols = {n: [] for n in names}
+    err = []
+    for b in payloads:
+        try:
+            r = fn(b)
+            r["parse_error"] = None
+        except Exception as e:  # noqa: BLE001
+            r = dict.fromkeys(names)
+            r["parse_error"] = f"{type(e).__name__}: {e}"
+        err.append(r["parse_error"])
+        for n in names:
+            if n != "parse_error":
+                cols[n].append(r[n])
+    cols["parse_error"] = err
+    return cols
+
+
+def _compare(vec_fn, scalar_fn, schema, payloads):
+    out = vec_fn(pd.Series(payloads))
+    assert out is not None, "vectorized path refused a valid batch"
+    exp = _scalar_frame(scalar_fn, schema, payloads)
+    for name in exp:
+        got = list(out[name]) if name in out else None
+        want = exp[name]
+        norm = lambda v: (list(v) if hasattr(v, "__len__")
+                          and not isinstance(v, str) else v)  # noqa: E731
+        for g, w in zip(got, want):
+            if name == "parse_error":
+                # error TEXT may differ (numpy vs scalar slicing); what must
+                # match is error-vs-success
+                assert (g is None) == (w is None), (name, g, w)
+            else:
+                assert norm(g) == norm(w) or (g is None and w is None) \
+                    or (g != g and w != w), (name, g, w)
+
+
+@st.composite
+def query_payload(draw):
+    sv_entries = draw(st.lists(st.sampled_from([
+        bytes([0x00]) + draw(st.binary(min_size=4, max_size=4)),
+        bytes([0x01]) + draw(st.binary(min_size=8, max_size=8)),
+        bytes([0x04]) + draw(st.binary(min_size=6, max_size=6)),
+        bytes([0x07]) + draw(st.binary(min_size=2, max_size=2)),
+        bytes([0x0D]) + draw(st.binary(min_size=4, max_size=4)),
+    ]), max_size=3))
+    sv = b"".join(sv_entries)
+    schema = draw(st.binary(min_size=0, max_size=12))
+    query = draw(st.binary(min_size=0, max_size=40))
+    body = (draw(st.binary(min_size=4, max_size=4))      # slave_proxy_id
+            + draw(st.binary(min_size=4, max_size=4))    # execution_time
+            + bytes([len(schema)])
+            + draw(st.binary(min_size=2, max_size=2))    # error_code
+            + len(sv).to_bytes(2, "little")
+            + sv + schema + b"\x00" + query)
+    size = H + len(body) + 4
+    return _hdr(0x02, size) + body + b"\x00\x00\x00\x00"
+
+
+@given(st.lists(query_payload(), min_size=1, max_size=8))
+def test_query_vectorized_equiv(payloads):
+    _compare(parse._query_vectorized, parse.decode_query_py,
+             parse.QUERY_SCHEMA, payloads)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=1, max_size=8))
+def test_rotate_vectorized_equiv(tails):
+    payloads = []
+    for t in tails:
+        body = b"\x04\x00\x00\x00\x00\x00\x00\x00" + t
+        payloads.append(_hdr(0x04, H + len(body) + 4) + body + b"\x00" * 4)
+    _compare(parse._rotate_vectorized, parse.decode_rotate_py,
+             parse.ROTATE_SCHEMA, payloads)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=8))
+def test_rows_query_vectorized_equiv(texts):
+    payloads = []
+    for t in texts:
+        body = bytes([min(len(t), 255)]) + t
+        payloads.append(_hdr(0x1D, H + len(body) + 4) + body + b"\x00" * 4)
+    _compare(parse._rows_query_vectorized, parse.decode_rows_query_py,
+             parse.ROWS_QUERY_SCHEMA, payloads)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=6))
+def test_format_desc_vectorized_equiv(n_types):
+    payloads = []
+    for k, n in enumerate(n_types):
+        body = (b"\x04\x00" + b"5.7.30-log" + b"\x00" * 40
+                + (1594395328).to_bytes(4, "little") + bytes([19])
+                + bytes((k + i) % 256 for i in range(n)) + bytes([1]))
+        payloads.append(_hdr(0x0F, H + len(body) + 4) + body + b"\x00" * 4)
+    _compare(parse._format_desc_vectorized, parse.decode_format_desc_py,
+             parse.FORMAT_DESC_SCHEMA, payloads)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=48), min_size=1, max_size=6))
+def test_prev_gtids_vectorized_equiv(sets):
+    payloads = []
+    for s in sets:
+        body = s + len(s).to_bytes(4, "little")
+        payloads.append(_hdr(0x23, H + len(body) + 4) + body + b"\x00" * 4)
+    _compare(parse._prev_gtids_vectorized, parse.decode_previous_gtids_py,
+             parse.PREV_GTIDS_SCHEMA, payloads)
+
+
+def test_vectorized_fallback_on_short_rows():
+    """A batch containing any row shorter than the layout minimum must fall
+    back to the scalar path (returns None) rather than crash."""
+    ok = _hdr(0x04, H + 12) + b"\x04\x00\x00\x00\x00\x00\x00\x00" + b"\x00" * 4
+    assert parse._rotate_vectorized(pd.Series([ok, b"\x01\x02"])) is None
+    assert parse._query_vectorized(pd.Series([b""])) is None
+
+
+def test_query_vectorized_bad_status_vars_is_row_error():
+    """A corrupt status-vars block errors THAT row (all fields null), and
+    healthy rows in the same batch still decode."""
+    bad_sv = bytes([0xEE]) + b"\x00" * 3  # unknown key 0xEE
+    body = (b"\x01\x00\x00\x00" + b"\x00\x00\x00\x00" + b"\x00"
+            + b"\x00\x00" + len(bad_sv).to_bytes(2, "little") + bad_sv
+            + b"\x00" + b"SELECT 1")
+    bad = _hdr(0x02, H + len(body) + 4) + body + b"\x00" * 4
+    good_body = (b"\x01\x00\x00\x00" + b"\x00\x00\x00\x00" + b"\x00"
+                 + b"\x00\x00" + b"\x00\x00" + b"\x00" + b"SELECT 2")
+    good = _hdr(0x02, H + len(good_body) + 4) + good_body + b"\x00" * 4
+    out = parse._query_vectorized(pd.Series([bad, good]))
+    assert out["parse_error"][0] is not None
+    assert out["slave_proxy_id"][0] is None
+    assert out["parse_error"][1] is None
+    assert out["query"][1] == "SELECT 2"
+    assert json.loads(out["status_vars"][1]) == []
