@@ -167,19 +167,16 @@ def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
     stage. Dropped buckets trade recall only for mega-clusters (k > cap),
     which exact dedup already catches."""
     sig = minhash_signature(docs)
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("band_key"),
-            )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+    # one posexplode, NOT a 4-way union: each union branch re-evaluates the
+    # whole signature (and its shingle sets) — 4 branches x 2 join sides x
+    # the size subquery multiplied the shingle work ~12x in the plan
+    keys = F.array(*[
+        F.concat_ws("_", *[F.col(f"mh{b * MINHASH_ROWS + r}")
+                           for r in range(MINHASH_ROWS)])
+        for b in range(MINHASH_BANDS)
+    ])
+    banded = sig.select(
+        "doc_id", F.posexplode(keys).alias("band", "band_key"))
     sizes = (banded.groupBy("band", "band_key")
              .agg(F.count("*").alias("_bsz"))
              .where(F.col("_bsz") <= max_bucket)
@@ -241,15 +238,18 @@ def minhash_lsh_clusters(docs: DataFrame, jaccard_threshold: float = 0.5,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
-                        max_df: float = 0.2) -> DataFrame:
+                        max_df: float = 0.2, max_df_abs: int = 64) -> DataFrame:
     """Exact n-gram Jaccard near-dup via an inverted shingle index.
 
     Candidate generation drops shingles whose document frequency exceeds
-    `max_df` (stop-shingle removal) — without it the per-shingle self-join
-    is quadratic in the hottest shingle's df and melts at scale. Jaccard on
-    surviving candidates is then EXACT over the *full* shingle sets
-    (array_intersect/union), so the df cap only bounds recall, never
-    precision. The oracle applies the identical cap."""
+    min(`max_df` * n_docs, `max_df_abs`) — stop-shingle removal. The
+    FRACTIONAL cap alone is a scale trap: at 100 TB a shingle at df =
+    0.2n still fans out O((0.2n)^2) candidate pairs; the ABSOLUTE cap
+    bounds per-shingle join fanout to max_df_abs^2 regardless of corpus
+    size (same reasoning as the LSH band-bucket cap). Jaccard on surviving
+    candidates is then EXACT over the *full* shingle sets
+    (array_intersect/union), so the caps only bound recall, never
+    precision. The oracle applies the identical caps."""
     sh = shingle_sets(docs)
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     # the df cap must not trigger a driver-side count() (a full extra scan
@@ -257,7 +257,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     n_docs = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
     rare = (inv.groupBy("sh").agg(F.count("*").alias("df"))
             .crossJoin(n_docs)
-            .where(F.col("df") <= F.floor(F.col("_n_docs") * F.lit(max_df)))
+            .where(F.col("df") <= F.least(
+                F.floor(F.col("_n_docs") * F.lit(max_df)),
+                F.lit(max_df_abs)))
             .select("sh"))
     inv_r = inv.join(rare, "sh")
     a = inv_r.select(F.col("doc_id").alias("doc_a"), "sh")
