@@ -81,16 +81,32 @@ def plane_bucket_sql(col: str, bits: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Precompute the L2 norm as a column: cosine joins then divide the dot
+    by `na * nb` — the SAME float ops as inlining norm() per pair (bit-
+    identical results, oracles unchanged) but O(n) norm folds instead of
+    O(pairs)."""
+    return df.withColumn(out, F.expr(NORM.format(a=vec)))
+
+
+def _pair_sim(qv: str, cv: str, nq: str, nc: str) -> str:
+    return f"({DOT.format(a=qv, b=cv)}) / ({nq} * {nc})"
+
+
 def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for the first `n_queries`
     vectors. The query side is broadcast (tiny), so the scan side streams
     once with no shuffle of the big table."""
-    q = (emb.where(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    q = _with_norm(
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv")), "qv", "nq")
+    c = _with_norm(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv")), "cv", "nc")
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.expr(_cosine("qv", "cv")))
+        .withColumn("sim", F.expr(_pair_sim("qv", "cv", "nq", "nc")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -107,15 +123,16 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 4, k: int = 3) -> DataFrame:
     hyperplanes (lsh_planes), then exact top-k cosine within each bucket.
     At 100 TB the bucket key is the shuffle key; buckets are bounded and
     the per-bucket join is local."""
-    e = emb.withColumn("bucket", plane_bucket_expr("embedding", bits))
+    e = _with_norm(emb.withColumn(
+        "bucket", plane_bucket_expr("embedding", bits)), "embedding", "nrm")
     a = e.select("bucket", F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv"))
+                 F.col("embedding").alias("qv"), F.col("nrm").alias("nq"))
     b = e.select("bucket", F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("cv"))
+                 F.col("embedding").alias("cv"), F.col("nrm").alias("nc"))
     scored = (
         a.join(b, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.expr(_cosine("qv", "cv")))
+        .withColumn("sim", F.expr(_pair_sim("qv", "cv", "nq", "nc")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -187,15 +204,17 @@ def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
     probe_expr = (
         f"transform(slice(reverse(array_sort({scored_arr.format(col='embedding')})), "
         f"1, {nprobe}), p -> -p.nid)")
-    q = (emb.where(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv"),
-                 F.explode(F.expr(probe_expr)).alias("centroid")))
-    c = assigned.select("centroid", F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("cv"))
+    q = _with_norm(
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.explode(F.expr(probe_expr)).alias("centroid")), "qv", "nq")
+    c = _with_norm(
+        assigned.select("centroid", F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("cv")), "cv", "nc")
     scored = (c.join(F.broadcast(q), "centroid")
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("sim", F.expr(_cosine("qv", "cv"))))
+              .withColumn("sim", F.expr(_pair_sim("qv", "cv", "nq", "nc"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -229,15 +248,16 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
     """Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing
     a seeded-hyperplane sign-bit bucket are scored (recall trades with
     `bits`)."""
-    e = emb.withColumn("bucket", plane_bucket_expr("embedding", bits))
+    e = _with_norm(emb.withColumn(
+        "bucket", plane_bucket_expr("embedding", bits)), "embedding", "nrm")
     a = e.select("bucket", F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("va"))
+                 F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     b = e.select("bucket", F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("vb"))
+                 F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", F.round(F.expr(_cosine("va", "vb")), 6))
+        .withColumn("sim", F.round(F.expr(_pair_sim("va", "vb", "na", "nb")), 6))
         .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
         .orderBy("vec_a", "vec_b")
