@@ -1,14 +1,14 @@
 """CLI analog of the reference's `bcrab` commands
 (`/root/reference/crates/old/src/cli.rs:13-161`), Spark-first:
 
-  trans <input parquet> <out dir> [--format json]   # cli.rs `trans`
-  desc  <input parquet>                             # cli.rs `desc`
+  trans <input parquet> <out dir> [--format json|yaml]   # cli.rs `trans`
+  desc  <input parquet>                                  # cli.rs `desc`
 
 `trans` runs the full DAG to typed sinks (the Iceberg/parquet analog of the
-reference's serde JSON/YAML dump); `--format json` additionally writes a
-per-event JSON debug dump of the decoded sinks (debug utility only — the
-sinks are the real output). `desc` prints event counts + the first
-FormatDesc summary per source (cli.rs:143-161).
+reference's serde JSON/YAML dump); `--format json|yaml` additionally writes
+a per-event JSON/YAML debug dump of the decoded sinks (debug utility only —
+the sinks are the real output; cli.rs:117-138). `desc` prints event counts
++ the first FormatDesc summary per source (cli.rs:143-161).
 """
 
 from __future__ import annotations
@@ -36,6 +36,38 @@ def cmd_trans(args) -> None:
             (df.orderBy("doc_id").toJSON()
              .saveAsTextFile(str(dump_dir / sink_dir.name)))
         print(f"debug JSON dump at {dump_dir}")
+    elif args.format == "yaml":
+        # cli.rs:126-131,138 analog: per-event YAML debug dump. A mapInPandas
+        # render per partition (yaml on each executor), never a driver loop.
+        import pandas as pd
+
+        def to_yaml(batches):
+            import json as _j
+
+            import yaml as _y
+
+            for b in batches:
+                # JSON round-trip normalizes numpy scalars/arrays to plain
+                # python (PyYAML refuses np types); "---" separators make
+                # the concatenated part files a valid multi-document stream
+                recs = _j.loads(b.to_json(orient="records"))
+                yield pd.DataFrame({"y": [
+                    "---\n" + _y.safe_dump(rec, sort_keys=False,
+                                           allow_unicode=True)
+                    for rec in recs]})
+
+        dump_dir = Path(args.out) / "debug_yaml"
+        for sink_dir in sorted((Path(args.out) / "sinks").iterdir()):
+            df = spark.read.parquet(str(sink_dir)).orderBy("doc_id")
+            # binary columns (raw payloads on header-only/quarantine sinks)
+            # render as hex — pandas' JSON path refuses bytes
+            df = df.select(*[
+                F.hex(F.col(f.name)).alias(f.name)
+                if f.dataType.typeName() == "binary" else F.col(f.name)
+                for f in df.schema.fields])
+            (df.mapInPandas(to_yaml, "y string").rdd.map(lambda r: r["y"])
+             .saveAsTextFile(str(dump_dir / sink_dir.name)))
+        print(f"debug YAML dump at {dump_dir}")
 
 
 def cmd_desc(args) -> None:
@@ -57,7 +89,8 @@ def main() -> None:
                                      "aggregate DAG to typed sinks")
     t.add_argument("input")
     t.add_argument("out")
-    t.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    t.add_argument("--format", choices=["parquet", "json", "yaml"],
+                   default="parquet")
     t.add_argument("--run-id", default="cli")
     t.add_argument("--no-resume", action="store_true")
     t.set_defaults(fn=cmd_trans)
