@@ -145,6 +145,42 @@ def test_compact_sink(spark, fixture_parquet, tmp_path):
     assert len(files) == 1
 
 
+def test_compact_sink_crash_recovery(spark, fixture_parquet, tmp_path):
+    """The directory swap is crash-safe: a leftover *_old dir (crash between
+    `src -> _old` and `tmp -> src`) is recovered as the live data; a stale
+    *_compacting dir is discarded; re-compaction after recovery works."""
+    import shutil
+
+    from binlogpipe.job import compact_sink, run_pipeline
+
+    out = tmp_path / "ccr_out"
+    run_pipeline(spark, fixture_parquet, str(out), run_id="ccr")
+    sink = out / "sinks" / "XID"
+    rows = sorted(r["doc_id"] for r in
+                  spark.read.parquet(str(sink)).select("doc_id").collect())
+
+    # crash scenario 1: src renamed aside, tmp never moved in -> only _old
+    old = sink.parent / "XID_old"
+    sink.rename(old)
+    (sink.parent / "XID_compacting").mkdir()  # stale partial rewrite
+    n = compact_sink(spark, str(out), "XID", target_file_mb=256)
+    assert n == 1
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(sink)).select("doc_id").collect())
+    assert got == rows
+    assert not old.exists()
+    assert not (sink.parent / "XID_compacting").exists()
+
+    # crash scenario 2: _old left behind AFTER tmp moved in (live src OK) —
+    # the leftover must be dropped, live data kept
+    shutil.copytree(sink, old)
+    n = compact_sink(spark, str(out), "XID", target_file_mb=256)
+    assert n == 1 and not old.exists()
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(sink)).select("doc_id").collect())
+    assert got == rows
+
+
 def test_malformed_rows_quarantined(spark, tmp_path):
     """Truncated/corrupt events route to QUARANTINE instead of failing the
     job (reference would panic: mod.rs:405-415)."""
