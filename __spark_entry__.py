@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from binlogpipe import aggregate as agg
 from binlogpipe import enrich, layout, parse, textops, vecops
@@ -29,6 +30,11 @@ from binlogpipe import enrich, layout, parse, textops, vecops
 REPO = Path(__file__).resolve().parent
 FIXTURE = str(REPO / "data" / "fixture_events.parquet")
 FX = f"read_parquet('{FIXTURE}')"
+# deterministic synthetic events for types the reference fixtures never
+# carry (Load/NewLoad/file-ops/Incident/NULL-UserVar/Stop/Slave/Heartbeat)
+# so their decoders get full oracle rows (tools/fixture_gen.rare_events)
+RARE = str(REPO / "data" / "rare_events.parquet")
+RFX = f"read_parquet('{RARE}')"
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL helpers for binlog byte arithmetic over tokens (1-indexed lists)
@@ -130,6 +136,16 @@ def _decoded(spark: SparkSession, sink: str) -> DataFrame:
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rare_df(spark: SparkSession) -> DataFrame:
+    return parse.with_header(spark.read.parquet(RARE))
+
+
+def _rare_decoded(spark: SparkSession, sink: str) -> DataFrame:
+    df = _rare_df(spark).filter(F.col("sink") == sink)
+    schema, factory = parse.DECODERS[sink]
+    return df.withColumn("d", factory()(F.col("tokens")))
 
 
 # ---------------------------------------------------------------------------
@@ -526,6 +542,132 @@ def q_bl_rows_decode(spark, sf_dir):
         .orderBy("doc_id", "image_idx", "col_idx"))
 
 
+# --- rare-event suite (committed synthetic table, tools/fixture_gen) -------
+
+def q_bl_rare_counts(spark, sf_dir):
+    """Dispatch coverage for Stop/Slave/Heartbeat + the Load/file-ops
+    family (none appear in the reference fixtures)."""
+    return agg.sink_counts(_rare_df(spark))
+
+
+def q_bl_rare_file_ops(spark, sf_dir):
+    """CreateFile/AppendBlock (parse_file_data) + ExecLoad/DeleteFile
+    (u16 file_id) — mod.rs:663-718."""
+    outs = []
+    for sink in ("CREATE_FILE", "APPEND_BLOCK"):
+        outs.append(_rare_decoded(spark, sink).select(
+            "doc_id", F.lit(sink).alias("sink"),
+            F.col("d.file_id").cast("long").alias("file_id"),
+            F.col("d.block_data").alias("block_data")))
+    for sink in ("EXEC_LOAD", "DELETE_FILE"):
+        outs.append(_rare_decoded(spark, sink).select(
+            "doc_id", F.lit(sink).alias("sink"),
+            F.col("d.file_id").cast("long").alias("file_id"),
+            F.lit(None).cast("string").alias("block_data")))
+    u = outs[0]
+    for x in outs[1:]:
+        u = u.unionByName(x)
+    return u.orderBy("doc_id")
+
+
+def q_bl_rare_incident(spark, sf_dir):
+    return (_rare_decoded(spark, "INCIDENT").select(
+        "doc_id", F.col("d.d_type").alias("d_type"),
+        F.col("d.message_length").alias("message_length"),
+        F.col("d.message").alias("message")).orderBy("doc_id"))
+
+
+_OPT_FLAG_T = T.StructType([
+    T.StructField("dump_file", T.BooleanType()),
+    T.StructField("opt_enclosed", T.BooleanType()),
+    T.StructField("replace", T.BooleanType()),
+    T.StructField("ignore", T.BooleanType()),
+])
+_EMPTY_FLAG_T = T.StructType([
+    T.StructField("field_term_empty", T.BooleanType()),
+    T.StructField("enclosed_empty", T.BooleanType()),
+    T.StructField("line_term_empty", T.BooleanType()),
+    T.StructField("line_start_empty", T.BooleanType()),
+    T.StructField("escape_empty", T.BooleanType()),
+])
+
+
+def q_bl_rare_load(spark, sf_dir):
+    """Load event (mod.rs:596-656) incl. the opt/empty flag bitsets and the
+    reference's quirky file-name length formula."""
+    d = _rare_decoded(spark, "LOAD")
+    opt = F.from_json(F.col("d.opt_flags"), _OPT_FLAG_T)
+    emp = F.from_json(F.col("d.empty_flags"), _EMPTY_FLAG_T)
+    return d.select(
+        "doc_id",
+        F.col("d.thread_id").alias("thread_id"),
+        F.col("d.execution_time").alias("execution_time"),
+        F.col("d.skip_lines").alias("skip_lines"),
+        F.col("d.num_fields").alias("num_fields"),
+        F.col("d.field_term").alias("field_term"),
+        F.col("d.enclosed_by").alias("enclosed_by"),
+        F.col("d.line_term").alias("line_term"),
+        F.col("d.line_start").alias("line_start"),
+        F.col("d.escaped_by").alias("escaped_by"),
+        opt["dump_file"].cast("int").alias("f_dump_file"),
+        opt["opt_enclosed"].cast("int").alias("f_opt_enclosed"),
+        opt["replace"].cast("int").alias("f_replace"),
+        opt["ignore"].cast("int").alias("f_ignore"),
+        emp["field_term_empty"].cast("int").alias("e_field_term"),
+        emp["escape_empty"].cast("int").alias("e_escape"),
+        F.array_join(F.col("d.field_names"), ",").alias("field_names"),
+        F.col("d.table_name").alias("table_name"),
+        F.col("d.schema_name").alias("schema_name"),
+        F.col("d.file_name").alias("file_name"),
+    ).orderBy("doc_id")
+
+
+def q_bl_rare_new_load(spark, sf_dir):
+    """NewLoad event (mod.rs:725-771): length-prefixed separator strings."""
+    d = _rare_decoded(spark, "NEW_LOAD")
+    return d.select(
+        "doc_id",
+        F.col("d.thread_id").alias("thread_id"),
+        F.col("d.num_fields").alias("num_fields"),
+        F.col("d.field_term").alias("field_term"),
+        F.col("d.enclosed_by").alias("enclosed_by"),
+        F.col("d.line_term").alias("line_term"),
+        F.col("d.line_start").alias("line_start"),
+        F.col("d.escaped_by").alias("escaped_by"),
+        F.array_join(F.col("d.field_names"), ",").alias("field_names"),
+        F.col("d.table_name").alias("table_name"),
+        F.col("d.schema_name").alias("schema_name"),
+        F.col("d.file_name").alias("file_name"),
+    ).orderBy("doc_id")
+
+
+def q_bl_rare_user_var(spark, sf_dir):
+    """NULL user-var variant (mod.rs:802-819): is_null short-circuits."""
+    return (_rare_decoded(spark, "USER_VAR").select(
+        "doc_id",
+        F.col("d.name_length").alias("name_length"),
+        F.col("d.name").alias("name"),
+        F.col("d.is_null").cast("int").alias("is_null"),
+        F.col("d.d_type").alias("d_type")).orderBy("doc_id"))
+
+
+def q_bl_exec_load_query(spark, sf_dir):
+    """ExecuteLoadQuery (mod.rs:909-964) over the reference fixture."""
+    return (_decoded(spark, "EXEC_LOAD_QUERY").select(
+        "doc_id",
+        F.col("d.thread_id").alias("thread_id"),
+        F.col("d.execution_time").alias("execution_time"),
+        F.col("d.schema_length").cast("long").alias("schema_length"),
+        F.col("d.error_code").cast("long").alias("error_code"),
+        F.col("d.status_vars_length").cast("long").alias("status_vars_length"),
+        F.col("d.file_id").alias("file_id"),
+        F.col("d.start_pos").alias("start_pos"),
+        F.col("d.end_pos").alias("end_pos"),
+        F.col("d.dup_handling_flags").alias("dup_handling_flags"),
+        F.col("d.schema").alias("schema_name"),
+        F.col("d.query").alias("query")).orderBy("doc_id"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from binlogpipe import multimodal
 
@@ -587,6 +729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": q_emb_ivf_ann,
         "emb_ivf_recall": q_emb_ivf_recall,
         "emb_neardup": q_emb_neardup,
+        "bl_rare_counts": q_bl_rare_counts,
+        "bl_rare_file_ops": q_bl_rare_file_ops,
+        "bl_rare_incident": q_bl_rare_incident,
+        "bl_rare_load": q_bl_rare_load,
+        "bl_rare_new_load": q_bl_rare_new_load,
+        "bl_rare_user_var": q_bl_rare_user_var,
+        "bl_exec_load_query": q_bl_exec_load_query,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1158,6 +1307,125 @@ GROUP BY doc_id ORDER BY doc_id
         f"SELECT source, table_id, schema_name, table_name, column_count, "
         f"column_count AS n_column_defs FROM dedup WHERE rn = 1 "
         f"ORDER BY source, table_id"
+    )
+
+    # ---- rare-event suite (committed synthetic table) ----
+    out["bl_rare_counts"] = (
+        f"SELECT {sink} AS sink, count(*) AS n "
+        f"FROM {RFX} GROUP BY 1 ORDER BY sink"
+    )
+
+    out["bl_rare_file_ops"] = (
+        f"SELECT doc_id, "
+        f"CASE tokens[5] WHEN 8 THEN 'CREATE_FILE' WHEN 9 THEN 'APPEND_BLOCK' "
+        f"WHEN 10 THEN 'EXEC_LOAD' ELSE 'DELETE_FILE' END AS sink, "
+        f"CASE WHEN tokens[5] IN (8, 9) THEN {_u(19, 4)} ELSE {_u(19, 2)} END "
+        f"AS file_id, "
+        f"CASE WHEN tokens[5] IN (8, 9) THEN "
+        f"{_extract_string_sql('24', 'n_tok - 4')} END AS block_data "
+        f"FROM {RFX} WHERE tokens[5] IN (8, 9, 10, 11) ORDER BY doc_id"
+    )
+
+    out["bl_rare_incident"] = (
+        f"SELECT doc_id, "
+        f"CASE {_u(19, 2)} WHEN 0 THEN 'None' ELSE 'LostEvents' END AS d_type, "
+        f"tokens[22]::INTEGER AS message_length, "
+        f"coalesce({_chrcat('23', '22 + tokens[22]')}, '') AS message "
+        f"FROM {RFX} WHERE tokens[5] = 26 ORDER BY doc_id"
+    )
+
+    out["bl_rare_user_var"] = (
+        f"SELECT doc_id, {_u(19, 4)} AS name_length, "
+        f"{_chrcat('24', f'23 + {_u(19, 4)}')} AS name, "
+        f"tokens[24 + {_u(19, 4)}]::INTEGER AS is_null, "
+        f"CAST(NULL AS VARCHAR) AS d_type "
+        f"FROM {RFX} WHERE tokens[5] = 14 ORDER BY doc_id"
+    )
+
+    # Load: fixed prefix + variable field-name list + the reference's quirky
+    # file-length formula (mod.rs:570-581, replicated verbatim)
+    out["bl_rare_load"] = f"""
+WITH L AS (
+  SELECT doc_id, tokens, n_tok,
+    tokens[32]::BIGINT AS tnl, tokens[33]::BIGINT AS sl,
+    {_u(33, 4)} AS nf
+  FROM {RFX} WHERE tokens[5] = 6
+), o AS (
+  SELECT doc_id, tokens, n_tok, tnl, sl, nf,
+    list_sum(tokens[45 : 44 + nf])::BIGINT AS sfnl,
+    (45 + nf)::BIGINT AS names0
+  FROM L
+)
+SELECT doc_id, {_u(19, 4)} AS thread_id, {_u(23, 4)} AS execution_time,
+  {_u(27, 4)} AS skip_lines, nf AS num_fields,
+  tokens[38]::INTEGER AS field_term, tokens[39]::INTEGER AS enclosed_by,
+  tokens[40]::INTEGER AS line_term, tokens[41]::INTEGER AS line_start,
+  tokens[42]::INTEGER AS escaped_by,
+  (tokens[43] & 1)::INTEGER AS f_dump_file,
+  ((tokens[43] >> 1) & 1)::INTEGER AS f_opt_enclosed,
+  ((tokens[43] >> 2) & 1)::INTEGER AS f_replace,
+  ((tokens[43] >> 3) & 1)::INTEGER AS f_ignore,
+  (tokens[44] & 1)::INTEGER AS e_field_term,
+  ((tokens[44] >> 4) & 1)::INTEGER AS e_escape,
+  rtrim(replace({_chrcat('names0', 'names0 + sfnl + nf - 1')},
+        chr(0), ','), ',') AS field_names,
+  {_chrcat('names0 + sfnl + nf', 'names0 + sfnl + nf + tnl - 1')} AS table_name,
+  {_chrcat('names0 + sfnl + nf + tnl + 1', 'names0 + sfnl + nf + tnl + sl')} AS schema_name,
+  {_extract_string_sql('names0 + sfnl + nf + tnl + sl + 2',
+                       'names0 + sfnl + nf + tnl + sl + 1 + (n_tok - 19 - 25 - nf - sfnl - nf - tnl - sl - 3 - 4)')} AS file_name
+FROM o ORDER BY doc_id
+"""
+
+    # NewLoad: five length-prefixed separators chained via lateral aliases;
+    # the file-length formula is Load's, reused by the reference verbatim
+    out["bl_rare_new_load"] = f"""
+WITH L AS (
+  SELECT doc_id, tokens, n_tok,
+    tokens[32]::BIGINT AS tnl, tokens[33]::BIGINT AS sl,
+    {_u(33, 4)} AS nf,
+    38::BIGINT AS p1
+  FROM {RFX} WHERE tokens[5] = 12
+), s AS (
+  SELECT *, (p1 + 1 + tokens[p1])::BIGINT AS p2 FROM L
+), s2 AS (SELECT *, (p2 + 1 + tokens[p2])::BIGINT AS p3 FROM s),
+s3 AS (SELECT *, (p3 + 1 + tokens[p3])::BIGINT AS p4 FROM s2),
+s4 AS (SELECT *, (p4 + 1 + tokens[p4])::BIGINT AS p5 FROM s3),
+s5 AS (SELECT *, (p5 + 1 + tokens[p5])::BIGINT AS popt FROM s4),
+o AS (
+  SELECT *, (popt + 1)::BIGINT AS fnl0,
+    list_sum(tokens[popt + 1 : popt + nf])::BIGINT AS sfnl,
+    (popt + 1 + nf)::BIGINT AS names0
+  FROM s5
+)
+SELECT doc_id, {_u(19, 4)} AS thread_id, nf AS num_fields,
+  coalesce({_chrcat('p1 + 1', 'p1 + tokens[p1]')}, '') AS field_term,
+  coalesce({_chrcat('p2 + 1', 'p2 + tokens[p2]')}, '') AS enclosed_by,
+  coalesce({_chrcat('p3 + 1', 'p3 + tokens[p3]')}, '') AS line_term,
+  coalesce({_chrcat('p4 + 1', 'p4 + tokens[p4]')}, '') AS line_start,
+  coalesce({_chrcat('p5 + 1', 'p5 + tokens[p5]')}, '') AS escaped_by,
+  rtrim(replace({_chrcat('names0', 'names0 + sfnl + nf - 1')},
+        chr(0), ','), ',') AS field_names,
+  {_chrcat('names0 + sfnl + nf', 'names0 + sfnl + nf + tnl - 1')} AS table_name,
+  {_chrcat('names0 + sfnl + nf + tnl + 1', 'names0 + sfnl + nf + tnl + sl')} AS schema_name,
+  {_extract_string_sql('names0 + sfnl + nf + tnl + sl + 2',
+                       'names0 + sfnl + nf + tnl + sl + 1 + (n_tok - 19 - 25 - nf - sfnl - nf - tnl - sl - 3 - 4)')} AS file_name
+FROM o ORDER BY doc_id
+"""
+
+    # ExecuteLoadQuery over the reference fixture (mod.rs:909-964)
+    _elq_svl = _u(30, 2)
+    out["bl_exec_load_query"] = (
+        f"SELECT doc_id, {_u(19, 4)} AS thread_id, "
+        f"{_u(23, 4)} AS execution_time, tokens[28]::BIGINT AS schema_length, "
+        f"{_u(28, 2)} AS error_code, {_elq_svl} AS status_vars_length, "
+        f"{_u(32, 4)} AS file_id, {_u(36, 4)} AS start_pos, "
+        f"{_u(40, 4)} AS end_pos, "
+        f"CASE tokens[45] WHEN 0 THEN 'Error' WHEN 1 THEN 'Ignore' "
+        f"ELSE 'Replace' END AS dup_handling_flags, "
+        f"{_chrcat(f'46 + {_elq_svl}', f'45 + {_elq_svl} + tokens[28]')} "
+        f"AS schema_name, "
+        f"{_extract_string_sql(f'47 + {_elq_svl} + tokens[28]', 'n_tok - 4')} "
+        f"AS query FROM {FX} WHERE tokens[5] = 18 ORDER BY doc_id"
     )
 
     # rows-image cell decode: the fixture table layouts are known

@@ -79,6 +79,89 @@ def rows_to_table(rows: list[tuple[str, str, bytes]]) -> pa.Table:
     )
 
 
+def make_event(event_type: int, payload: bytes, *, timestamp: int = 1000,
+               server_id: int = 1, log_pos: int = 4, flags: int = 0) -> bytes:
+    """Hand-assemble one event per the 19-byte header layout
+    (mod.rs:52-81) + 4-byte checksum tail."""
+    size = HEADER_LEN + len(payload) + 4
+    hdr = (struct.pack("<IBIII", timestamp, event_type, server_id, size,
+                       log_pos)[:17] + struct.pack("<H", flags))
+    return hdr + payload + b"\x12\x34\x56\x78"
+
+
+def rare_events() -> list[tuple[str, str, bytes]]:
+    """Deterministic synthetic events for the types the reference fixtures
+    never exercise (SURVEY §2.3 completeness): Load/NewLoad, the file-ops
+    family, Incident, NULL user vars, and the header-only Stop/Slave/
+    Heartbeat — so these decoders get DuckDB-oracle rows, not just unit
+    tests. Layouts follow mod.rs (file:line in each builder)."""
+    rows: list[tuple[str, str, bytes]] = []
+
+    def add(name, ev):
+        rows.append((f"rare/{len(rows)}", name, ev))
+
+    # Load (mod.rs:596-656) — varying field lists
+    for k, fields in enumerate(([b"a", b"bb"], [b"col"], [b"x", b"yy", b"zzz"])):
+        table, schema, fname = b"t%d" % k, b"sch", b"/tmp/load%d" % k
+        p = struct.pack("<III", 7 + k, k, 2 * k)
+        p += bytes([len(table), len(schema)])
+        p += struct.pack("<I", len(fields))
+        p += bytes([44, 34, 10, 0, 92])
+        p += bytes([k % 4])              # opt_flags
+        p += bytes([(k + 1) % 8])        # empty_flags
+        p += bytes(len(f) for f in fields)
+        p += b"".join(f + b"\x00" for f in fields)
+        p += table + b"\x00" + schema + b"\x00" + fname + b"\x00"
+        add("load", make_event(0x06, p))
+
+    # NewLoad (mod.rs:725-771) — length-prefixed separators
+    for k, fields in enumerate(([b"x"], [b"aa", b"b"])):
+        table, schema, fname = b"nt%d" % k, b"ns", b"/tmp/nl%d" % k
+        p = struct.pack("<III", 17 + k, k, k)
+        p += bytes([len(table), len(schema)])
+        p += struct.pack("<I", len(fields))
+        for sep in (b",", b'"', b"\n", b"", b"\\\\"[:1]):
+            p += bytes([len(sep)]) + sep
+        p += bytes([k % 4])
+        p += bytes(len(f) for f in fields)
+        p += b"".join(f + b"\x00" for f in fields)
+        p += table + b"\x00" + schema + b"\x00" + fname + b"\x00"
+        add("new_load", make_event(0x0C, p))
+
+    # file-ops family (mod.rs:663-718)
+    for k in range(3):
+        add("create_file", make_event(
+            0x08, struct.pack("<I", 100 + k) + b"block data %d" % k))
+        add("append_block", make_event(
+            0x09, struct.pack("<I", 200 + k) + b"more bytes %d" % k))
+        add("exec_load", make_event(0x0A, struct.pack("<H", 300 + k)))
+        add("delete_file", make_event(0x0B, struct.pack("<H", 400 + k)))
+
+    # Incident (mod.rs:1020-1041)
+    for k, (typ, msg) in enumerate(((1, b"lost events"), (0, b""),
+                                    (1, b"relay corruption"))):
+        add("incident", make_event(
+            0x1A, struct.pack("<H", typ) + bytes([len(msg)]) + msg))
+
+    # NULL user vars (mod.rs:802-819)
+    for k, name in enumerate((b"v", b"my_var")):
+        add("user_var_null", make_event(
+            0x0E, struct.pack("<I", len(name)) + name + bytes([1])))
+
+    # header-only types (mod.rs:516-519, 658-661, 1043-1046)
+    for k, tid in enumerate((0x03, 0x07, 0x1B, 0x03, 0x07, 0x1B)):
+        add("header_only", make_event(tid, b"", timestamp=2000 + k,
+                                      log_pos=64 + 4 * k))
+    return rows
+
+
+def write_rare_events_parquet(path: Path) -> int:
+    """Commit-able deterministic rare-events table (contract schema)."""
+    t = rows_to_table(rare_events())
+    pq.write_table(t, path)
+    return t.num_rows
+
+
 def write_synth_parquet(path: Path, factor: int, seed: int = 42,
                         row_group_size: int = 25_000) -> int:
     """Deterministic scale-up: `factor` copies of every fixture event with
