@@ -651,6 +651,21 @@ def q_bl_rare_user_var(spark, sf_dir):
         F.col("d.d_type").alias("d_type")).orderBy("doc_id"))
 
 
+def q_bl_prev_gtids(spark, sf_dir):
+    """PreviousGtids (mod.rs:1164-1177): raw gtid_sets bytes + u32 tail."""
+    return (_decoded(spark, "PREV_GTIDS").select(
+        "doc_id",
+        F.array_join(F.col("d.gtid_sets"), ",").alias("gtid_sets_csv"),
+        F.col("d.buf_size").alias("buf_size")).orderBy("doc_id"))
+
+
+def q_bl_begin_load_query(spark, sf_dir):
+    """BeginLoadQuery (parse_file_data body, mod.rs:896-907)."""
+    return (_decoded(spark, "BEGIN_LOAD_QUERY").select(
+        "doc_id", F.col("d.file_id").alias("file_id"),
+        F.col("d.block_data").alias("block_data")).orderBy("doc_id"))
+
+
 def q_bl_exec_load_query(spark, sf_dir):
     """ExecuteLoadQuery (mod.rs:909-964) over the reference fixture."""
     return (_decoded(spark, "EXEC_LOAD_QUERY").select(
@@ -736,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bl_rare_new_load": q_bl_rare_new_load,
         "bl_rare_user_var": q_bl_rare_user_var,
         "bl_exec_load_query": q_bl_exec_load_query,
+        "bl_prev_gtids": q_bl_prev_gtids,
+        "bl_begin_load_query": q_bl_begin_load_query,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1411,6 +1428,22 @@ SELECT doc_id, {_u(19, 4)} AS thread_id, nf AS num_fields,
                        'names0 + sfnl + nf + tnl + sl + 1 + (n_tok - 19 - 25 - nf - sfnl - nf - tnl - sl - 3 - 4)')} AS file_name
 FROM o ORDER BY doc_id
 """
+
+    # PreviousGtids: bytes between header and the trailing u32 buf_size
+    out["bl_prev_gtids"] = (
+        f"SELECT doc_id, "
+        f"coalesce(array_to_string(tokens[20 : n_tok - 8], ','), '') "
+        f"AS gtid_sets_csv, "
+        f"(tokens[n_tok-7]::BIGINT + tokens[n_tok-6]::BIGINT*256 + "
+        f"tokens[n_tok-5]::BIGINT*65536 + tokens[n_tok-4]::BIGINT*16777216) "
+        f"AS buf_size FROM {FX} WHERE tokens[5] = 35 ORDER BY doc_id"
+    )
+
+    out["bl_begin_load_query"] = (
+        f"SELECT doc_id, {_u(19, 4)} AS file_id, "
+        f"{_extract_string_sql('24', 'n_tok - 4')} AS block_data "
+        f"FROM {FX} WHERE tokens[5] = 17 ORDER BY doc_id"
+    )
 
     # ExecuteLoadQuery over the reference fixture (mod.rs:909-964)
     _elq_svl = _u(30, 2)
