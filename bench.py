@@ -51,9 +51,9 @@ EVENTS_PER_SF = 60_000_000  # sf0.1 -> ~6M events (compute-dominant bench)
 
 QUERY_NAMES = [
     "doc_exact_dedup", "doc_minhash_sig", "doc_neardup_minhash",
-    "doc_neardup_clusters", "doc_fingerprint", "emb_cosine_topk",
-    "emb_ivf_ann", "ev_minute_rollup", "ev_sessionize", "tpch_pricing",
-    "tpch_region_revenue",
+    "doc_neardup_clusters", "doc_neardup_jaccard", "doc_fingerprint",
+    "emb_cosine_topk", "emb_ivf_ann", "emb_neardup", "ev_minute_rollup",
+    "ev_sessionize", "tpch_pricing", "tpch_region_revenue",
 ]
 
 
