@@ -448,6 +448,7 @@ def q_doc_token_stats(spark, sf_dir):
         "doc_id",
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.col("n_chars_calc").cast("long").alias("n_chars_calc"))
 
 
@@ -1066,7 +1067,9 @@ GROUP BY doc_id ORDER BY doc_id
     out["doc_token_stats"] = (
         f"SELECT doc_id, len({ws})::BIGINT AS n_ws_tokens, "
         f"len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS "
-        f"n_word_tokens, length(text)::BIGINT AS n_chars_calc "
+        f"n_word_tokens, "
+        f"len(regexp_extract_all(text, '{textops.BPE_PATTERN}'))::BIGINT AS "
+        f"n_bpe_tokens, length(text)::BIGINT AS n_chars_calc "
         f"FROM documents ORDER BY doc_id"
     )
     out["doc_quality"] = (

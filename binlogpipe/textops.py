@@ -64,13 +64,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, simplified so every alternative is
+# first-char-disjoint (leftmost-first Java regex and leftmost-longest RE2
+# agree): optional-space + letter run | optional-space + digit run |
+# optional-space + symbol run | whitespace run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Token counting: whitespace tokens + word-ish regex tokens + chars."""
+    """Token counting: whitespace tokens, word-ish regex tokens, BPE-ish
+    pre-tokenizer segments (the unit a GPT-style tokenizer would then
+    merge), and chars."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).alias(
             "n_word_tokens"),
+        F.size(F.expr(
+            f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")).alias(
+            "n_bpe_tokens"),
         F.length("text").alias("n_chars_calc"),
     ).orderBy("doc_id")
 
