@@ -208,20 +208,11 @@ def run_pipeline(
     # ---- stage: per-sink typed decode ----
     if typed_sinks and not (resume and ck.done("decode")):
         t0 = time.time()
-        # cache the routed table across the 18 per-sink jobs when it
-        # plausibly fits in executor memory (measured 15-20% stage win —
-        # 18 pruned scans become RAM reads). Size-gated: at 100 TB the
-        # cache would just spill and lose to parquet's compression, so a
-        # big routed table reads from storage as before.
-        cached = None
-        try:
-            routed_bytes = sum(
-                f.stat().st_size for f in Path(routed_path).rglob("*.parquet"))
-        except OSError:
-            routed_bytes = None  # non-local path (real cluster): skip gate
-        if routed_bytes is not None and routed_bytes < 8 * 1024 ** 3:
-            cached = routed_df.persist()
-            routed_df = cached
+        # NO persist of the routed table here: an A/B that pre-built the
+        # cache outside the timed region showed a 15-20% win, but paying
+        # the cache materialization INSIDE the stage (as a real run must)
+        # measured decode 11s -> 16s at sf0.1 — the 18 pruned parquet scans
+        # are cheaper than one full cache build + 18 cache reads.
         present = [r["sink"] for r in routed_df.select("sink").distinct().collect()]
 
         # hot sinks get full-width decode (they dominate rows: QUERY+GTID
@@ -288,8 +279,6 @@ def run_pipeline(
         cold = [s for s in sorted(present) if s not in layout.SALT_FACTORS]
         with ThreadPoolExecutor(max_workers=min(6, len(present))) as pool:
             list(pool.map(decode_one, hot + cold))
-        if cached is not None:
-            cached.unpersist()
         metrics["stages"]["decode"] = {
             "wall_sec": round(time.time() - t0, 3), "sinks": len(present)}
         ck.mark("decode", sinks=len(present))
