@@ -132,6 +132,95 @@ def run_available_now(spark: SparkSession, input_dir: str, out_dir: str,
     q.awaitTermination()
 
 
+def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
+                           checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None) -> None:
+    """Incremental FULL DAG: the streaming twin of job.run_pipeline. Each
+    micro-batch routes to the routed table, refreshes the TableMap
+    dimension (cumulative latest-wins — a rows event may arrive batches
+    after its TableMap), and appends per-sink typed decodes, reusing the
+    exact batch decoders (parse.DECODERS).
+
+    Idempotence on retry: every write lands in a `batch=<id>` subdirectory
+    with mode=overwrite, so a replayed micro-batch overwrites its own
+    output instead of duplicating (the parquet stand-in for an Iceberg
+    transactional append); the dim dir is a full rebuild, also idempotent."""
+    from pathlib import Path
+
+    from . import enrich, layout
+    from .job import ROUTED_COLS, ROWS_SINKS
+
+    out = Path(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hdr = parse.with_header(batch_df)
+        hdr = hdr.withColumn(
+            "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
+        hdr = hdr.withColumn(
+            "rows_table_id",
+            F.when(F.col("sink").isin(*ROWS_SINKS + ("TABLE_MAP",)),
+                   layout.u48le(F.col("tokens"), 19)))
+        hdr = hdr.withColumn("input_partition", F.spark_partition_id())
+        hdr = hdr.withColumn("salt", route.salt_expr())
+        routed_batch = str(out / "routed" / f"batch={batch_id}")
+        (hdr.select(*ROUTED_COLS).write.mode("overwrite")
+            .partitionBy("sink").parquet(routed_batch))
+
+        # cumulative dim: latest TableMap per (source, table_id) across ALL
+        # batches so far (rows events may trail their TableMap by batches)
+        routed_all = spark.read.option("basePath", str(out / "routed")) \
+            .parquet(str(out / "routed"))
+        tm = routed_all.filter(F.col("sink") == "TABLE_MAP")
+        from pyspark.sql import Window
+        w = Window.partitionBy("source", "rows_table_id").orderBy(
+            F.col("log_pos").desc(), F.col("doc_id").desc())
+        latest = (tm.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        schema, factory = parse.DECODERS["TABLE_MAP"]
+        dim = enrich.build_table_map_dim(
+            latest.withColumn("d", factory()(F.col("tokens_bin")))
+            .select("source", "log_pos", "d.*")
+            .filter(F.col("parse_error").isNull()))
+        dim.write.mode("overwrite").parquet(str(out / "table_map_dim"))
+        dim = spark.read.parquet(str(out / "table_map_dim"))
+
+        batch_routed = spark.read.option(
+            "basePath", str(out / "routed")).parquet(routed_batch)
+        present = [r["sink"] for r in
+                   batch_routed.select("sink").distinct().collect()]
+        base_cols = ["doc_id", "n_tok", "source", "timestamp", "event_type",
+                     "server_id", "event_size", "log_pos", "flags",
+                     "checksum"]
+        for sink in sorted(present):
+            sink_df = batch_routed.filter(F.col("sink") == sink)
+            if sink in ROWS_SINKS:
+                n_images = 2 if sink == "UPDATE_ROWS_V2" else 1
+                sink_df = sink_df.withColumnRenamed("rows_table_id",
+                                                    "table_id")
+                joined = enrich.enrich_rows_events(sink_df, dim)
+                dec = joined.withColumn(
+                    "d", parse.make_rows_udf(n_images)(
+                        F.col("tokens_bin"), F.col("columns_type")))
+                dec = dec.select(*base_cols, "tm_schema_name",
+                                 "tm_table_name", "d.*")
+            elif sink in parse.DECODERS:
+                schema, factory = parse.DECODERS[sink]
+                dec = sink_df.withColumn(
+                    "d", factory()(F.col("tokens_bin")))
+                dec = dec.select(*base_cols, "d.*")
+            else:
+                dec = sink_df.select(*base_cols, "tokens_bin")
+            dec.write.mode("overwrite").parquet(
+                str(out / "sinks" / sink / f"batch={batch_id}"))
+
+    q = (read_stream(spark, input_dir, max_files_per_trigger)
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def run_counts_available_now(spark: SparkSession, input_dir: str,
                              checkpoint_dir: str) -> dict[str, int]:
     """Streaming per-sink counts drained to memory, for golden comparison."""

@@ -98,6 +98,47 @@ def test_transaction_assembler_multi_chunk(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_full_dag_matches_batch(spark, fixture_parquet, tmp_path):
+    """The incremental full DAG (route + cumulative TableMap dim + typed
+    sinks per micro-batch) converges to the batch goldens even when rows
+    events land in later micro-batches than their TableMap (forced with
+    maxFilesPerTrigger=1 over a 4-file input split)."""
+    import pandas as pd
+
+    # stage the fixture as 4 files in doc order -> 4 micro-batches; the
+    # rows-event fixtures straddle file boundaries
+    pdf = pd.read_parquet(fixture_parquet)
+    d = tmp_path / "full_in"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(4):
+        pdf.iloc[i * n // 4:(i + 1) * n // 4].to_parquet(
+            d / f"part-{i}.parquet")
+
+    out = tmp_path / "full_out"
+    streaming.run_full_available_now(
+        spark, str(d), str(out), str(tmp_path / "ck_full"),
+        max_files_per_trigger=1)
+
+    # per-sink counts match the batch golden exactly
+    got = {}
+    for sink_dir in sorted((out / "sinks").iterdir()):
+        got[sink_dir.name] = spark.read.parquet(str(sink_dir)).count()
+    assert got == GOLDEN_COUNTS
+
+    # typed decode parity with the batch DAG on a payload-bearing sink
+    from binlogpipe.job import run_pipeline
+    bout = tmp_path / "full_batch"
+    run_pipeline(spark, fixture_parquet, str(bout), run_id="fb")
+    for sink in ("QUERY", "WRITE_ROWS_V2"):
+        s = spark.read.parquet(str(out / "sinks" / sink))
+        b = spark.read.parquet(str(bout / "sinks" / sink))
+        cols = sorted(set(s.columns) & set(b.columns))
+        srows = sorted(map(tuple, s.select(cols).collect()))
+        brows = sorted(map(tuple, b.select(cols).collect()))
+        assert srows == brows, sink
+
+
 def test_stream_routed_parquet_and_checkpoint_resume(spark, fixture_parquet,
                                                      tmp_path):
     input_dir = _stage_input(fixture_parquet, tmp_path)
