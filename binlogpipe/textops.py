@@ -80,8 +80,12 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).alias(
             "n_word_tokens"),
-        F.size(F.expr(
-            f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")).alias(
+        # The pattern goes in as a Column literal, NOT interpolated into an
+        # F.expr string: Spark's SQL string-literal unescaping would turn \s
+        # into s, silently sending whitespace runs down the symbol branch
+        # (wrong counts on any text with '  !', '\n!', '.  ' sequences).
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias(
             "n_bpe_tokens"),
         F.length("text").alias("n_chars_calc"),
     ).orderBy("doc_id")

@@ -64,6 +64,33 @@ def test_langid_scores_stopworded_text(crafted_docs):
     assert out[0]["en_score"] > out[3]["en_score"]
 
 
+def test_bpe_tokens_whitespace_runs(spark):
+    """Pins the n_bpe_tokens whitespace branch: texts with multi-space runs
+    and newline-before-punctuation must match both a Python re walk of
+    BPE_PATTERN and the DuckDB oracle expression (round-2 advice: the
+    pattern interpolated into an F.expr literal lost its backslashes, so
+    'a  !' segmented as 2 tokens instead of 3)."""
+    import re
+
+    import duckdb
+
+    texts = ["a  !", "a\n!", "x.  y", "hi   there\t\t42", "tab\tbreak\n\nend",
+             "plain words only"]
+    expected = [len(re.findall(textops.BPE_PATTERN, t)) for t in texts]
+    docs = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textops.token_stats(docs).collect()}
+    assert [got[i] for i in range(len(texts))] == expected
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (n,) = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, textops.BPE_PATTERN]
+        ).fetchone()
+        assert n == expected[i], (i, t)
+
+
 def test_cosine_topk_self_similarity(spark):
     rows = [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.99, 0.1, 0.0, 0.0], 0),
             (2, [0.0, 1.0, 0.0, 0.0], 1), (3, [-1.0, 0.0, 0.0, 0.0], 1)]
