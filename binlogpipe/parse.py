@@ -333,7 +333,6 @@ def _query_vectorized(tokens: pd.Series):
     ecode = fl.u(H + 9, 2)
     svl = fl.u(H + 11, 2)
     qlen = fl.lens - (H + 13) - svl - slen - 1 - 4
-    sv0 = fl.offs + H + 13
     buf = fl.buf
     n = fl.n
     status = [None] * n
@@ -341,16 +340,24 @@ def _query_vectorized(tokens: pd.Series):
     query = [None] * n
     err = [None] * n
     # .tolist() once: bytes slicing with Python ints is several times
-    # faster than with np.int64 scalars (each np index pays __index__)
-    for i, (o, sv, sl, ql) in enumerate(zip(
-            sv0.tolist(), svl.tolist(), slen.tolist(), qlen.tolist())):
+    # faster than with np.int64 scalars (each np index pays __index__).
+    # Variable-length fields slice from the ROW's own bytes, never the flat
+    # batch buffer: an interior length field (svl/schema_length) that
+    # overruns its row must truncate at the row end exactly like the scalar
+    # path — a flat-buffer slice would silently read the NEXT row's bytes,
+    # making output depend on batch co-location.
+    for i, (o, rl, sv, sl, ql) in enumerate(zip(
+            fl.offs.tolist(), fl.lens.tolist(), svl.tolist(), slen.tolist(),
+            qlen.tolist())):
         try:
-            s = o + sv
-            status[i] = _status_vars_json(buf[o:s])
+            row = buf[o:o + rl]
+            p = H + 13
+            s = p + sv
+            status[i] = _status_vars_json(row[p:s])
             e = s + sl
-            schema[i] = buf[s:e].decode("utf-8")
+            schema[i] = row[s:e].decode("utf-8")
             q0 = e + 1
-            query[i] = c.extract_string(buf[q0:q0 + ql])
+            query[i] = c.extract_string(row[q0:q0 + ql])
         except Exception as ex:  # noqa: BLE001 — quarantine, don't panic
             err[i] = f"{type(ex).__name__}: {ex}"
     return _mask_errors({
@@ -384,11 +391,12 @@ def _rows_query_vectorized(tokens: pd.Series):
     if fl is None:
         return None
     ln = fl.u(H, 1)
-    s0 = fl.offs + H + 1
     buf = fl.buf
+    # row-relative slice (not flat-buffer): a length byte larger than the
+    # row's remainder must truncate at the row end like the scalar path
     texts = [
-        buf[o:o + k].decode("utf-8", errors="replace")
-        for o, k in zip(s0.tolist(), ln.tolist())
+        buf[o + H + 1:o + min(H + 1 + k, rl)].decode("utf-8", errors="replace")
+        for o, rl, k in zip(fl.offs.tolist(), fl.lens.tolist(), ln.tolist())
     ]
     return pd.DataFrame({"length": ln.astype("int32"), "query_text": texts,
                          "parse_error": None})

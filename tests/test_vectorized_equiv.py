@@ -89,6 +89,62 @@ def test_query_vectorized_equiv(payloads):
              parse.QUERY_SCHEMA, payloads)
 
 
+@st.composite
+def corrupt_query_payload(draw):
+    """Query rows whose DECLARED interior lengths (status_vars_length,
+    schema_length) are arbitrary — often overrunning the row. Both paths
+    must truncate at the row end identically; a flat-buffer slice that
+    reads the neighbor row's bytes makes output depend on batch
+    co-location (round-2 advice)."""
+    declared_slen = draw(st.integers(min_value=0, max_value=255))
+    declared_svl = draw(st.integers(min_value=0, max_value=65535))
+    tail = draw(st.binary(min_size=0, max_size=30))
+    body = (draw(st.binary(min_size=4, max_size=4))
+            + draw(st.binary(min_size=4, max_size=4))
+            + bytes([declared_slen])
+            + draw(st.binary(min_size=2, max_size=2))
+            + declared_svl.to_bytes(2, "little")
+            + tail)
+    size = H + len(body) + 4
+    return _hdr(0x02, size) + body + b"\x00\x00\x00\x00"
+
+
+@given(st.lists(st.one_of(query_payload(), corrupt_query_payload()),
+                min_size=2, max_size=8))
+def test_query_vectorized_equiv_inconsistent_lengths(payloads):
+    _compare(parse._query_vectorized, parse.decode_query_py,
+             parse.QUERY_SCHEMA, payloads)
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=255),
+                          st.binary(min_size=0, max_size=20)),
+                min_size=2, max_size=8))
+def test_rows_query_vectorized_equiv_inconsistent_lengths(items):
+    """Declared length byte independent of the actual text length — overruns
+    must clamp at the row end on both paths."""
+    payloads = []
+    for declared, t in items:
+        body = bytes([declared]) + t
+        payloads.append(_hdr(0x1D, H + len(body) + 4) + body + b"\x00" * 4)
+    _compare(parse._rows_query_vectorized, parse.decode_rows_query_py,
+             parse.ROWS_QUERY_SCHEMA, payloads)
+
+
+def test_rotate_high_bit_position_wraps_identically():
+    """position >= 2^63 wraps two's-complement to the SAME negative i64 on
+    both paths (the scalar u64 used to return an out-of-range positive int
+    that failed Arrow conversion while vectorized wrapped — round-2 advice)."""
+    pos = (0xFEDCBA9876543210).to_bytes(8, "little")
+    body = pos + b"binlog.000042"
+    payload = _hdr(0x04, H + len(body) + 4) + body + b"\x00" * 4
+    scalar = parse.decode_rotate_py(payload)
+    vec = parse._rotate_vectorized(pd.Series([payload]))
+    expect = 0xFEDCBA9876543210 - (1 << 64)
+    assert scalar["position"] == expect
+    assert int(vec["position"][0]) == expect
+    assert vec["next_binlog"][0] == scalar["next_binlog"] == "binlog.000042"
+
+
 @given(st.lists(st.binary(min_size=0, max_size=60), min_size=1, max_size=8))
 def test_rotate_vectorized_equiv(tails):
     payloads = []
