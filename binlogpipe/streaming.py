@@ -144,7 +144,25 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
     Idempotence on retry: every write lands in a `batch=<id>` subdirectory
     with mode=overwrite, so a replayed micro-batch overwrites its own
     output instead of duplicating (the parquet stand-in for an Iceberg
-    transactional append); the dim dir is a full rebuild, also idempotent."""
+    transactional append); the dim is a chain of per-batch snapshots
+    (`table_map_dim/v=<id>`), each rebuilt deterministically from the
+    previous snapshot + the current batch, so a replay rewrites only its
+    own version.
+
+    The dim is maintained INCREMENTALLY: snapshot v=N = latest-wins over
+    (snapshot v<N ∪ batch N's decoded TableMaps). Each trigger touches the
+    current batch plus one dim-sized read — O(batches) total over the
+    stream's life, not the O(batches²) of rescanning all routed history
+    every trigger. Winner-of-winners equals the global winner, so the
+    snapshot chain reproduces the full-history window exactly.
+
+    Batch-parity precondition (same as enrich.build_table_map_dim
+    documents): at most one TableMap per (source, table_id) per stream.
+    A rows event decoded in batch N is never re-decoded if a NEWER
+    TableMap for its table arrives in batch M>N, while the batch DAG
+    applies global latest-wins — the two agree only under that
+    single-TableMap assumption (real replication streams satisfy it per
+    binlog file; the fixtures do too)."""
     from pathlib import Path
 
     from . import enrich, layout
@@ -166,26 +184,34 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
         (hdr.select(*ROUTED_COLS).write.mode("overwrite")
             .partitionBy("sink").parquet(routed_batch))
 
-        # cumulative dim: latest TableMap per (source, table_id) across ALL
-        # batches so far (rows events may trail their TableMap by batches)
-        routed_all = spark.read.option("basePath", str(out / "routed")) \
-            .parquet(str(out / "routed"))
-        tm = routed_all.filter(F.col("sink") == "TABLE_MAP")
-        from pyspark.sql import Window
-        w = Window.partitionBy("source", "rows_table_id").orderBy(
-            F.col("log_pos").desc(), F.col("doc_id").desc())
-        latest = (tm.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
-        schema, factory = parse.DECODERS["TABLE_MAP"]
-        dim = enrich.build_table_map_dim(
-            latest.withColumn("d", factory()(F.col("tokens_bin")))
-            .select("source", "log_pos", "d.*")
-            .filter(F.col("parse_error").isNull()))
-        dim.write.mode("overwrite").parquet(str(out / "table_map_dim"))
-        dim = spark.read.parquet(str(out / "table_map_dim"))
-
+        # incremental cumulative dim: previous snapshot ∪ this batch's
+        # decoded TableMaps, latest-wins per (source, table_id). doc_id
+        # rides along as the deterministic log_pos tie-break.
         batch_routed = spark.read.option(
             "basePath", str(out / "routed")).parquet(routed_batch)
+        schema, factory = parse.DECODERS["TABLE_MAP"]
+        cand = (batch_routed.filter(F.col("sink") == "TABLE_MAP")
+                .withColumn("d", factory()(F.col("tokens_bin")))
+                .select("source", "log_pos", "doc_id", "d.*")
+                .filter(F.col("parse_error").isNull())
+                .select("source", "log_pos", "doc_id", "table_id",
+                        "schema_name", "table_name", "column_count",
+                        "columns_type", "null_bits"))
+        dim_root = out / "table_map_dim"
+        prior = [int(p.name[2:]) for p in dim_root.glob("v=*")
+                 if p.name[2:].isdigit() and int(p.name[2:]) < batch_id]
+        if prior:
+            prev = spark.read.parquet(str(dim_root / f"v={max(prior)}"))
+            cand = prev.unionByName(cand)
+        from pyspark.sql import Window
+        w = Window.partitionBy("source", "table_id").orderBy(
+            F.col("log_pos").desc(), F.col("doc_id").desc())
+        snap = (cand.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        snap_path = str(dim_root / f"v={batch_id}")
+        snap.write.mode("overwrite").parquet(snap_path)
+        dim = spark.read.parquet(snap_path).drop("doc_id")
+
         present = [r["sink"] for r in
                    batch_routed.select("sink").distinct().collect()]
         base_cols = ["doc_id", "n_tok", "source", "timestamp", "event_type",
