@@ -157,6 +157,10 @@ def q_bl_sink_counts(spark, sf_dir):
 
 
 def q_bl_header_decode(spark, sf_dir):
+    """Full 19-byte header decode + the 10 EventFlag booleans
+    (mod.rs:28-40) as ints, one row per fixture event."""
+    flag_cols = [v.cast("int").alias(k)
+                 for k, v in layout.flag_columns(F.col("flags")).items()]
     return _fixture_df(spark).select(
         "doc_id",
         F.col("timestamp").alias("ts_field"),
@@ -164,15 +168,8 @@ def q_bl_header_decode(spark, sf_dir):
         "server_id", "event_size", "log_pos",
         F.col("flags").cast("long").alias("flags"),
         "checksum",
+        *flag_cols,
     ).orderBy("doc_id")
-
-
-def q_bl_flag_bits(spark, sf_dir):
-    """The 10 EventFlag booleans (mod.rs:28-40) as ints."""
-    df = _fixture_df(spark)
-    cols = [v.cast("int").alias(k)
-            for k, v in layout.flag_columns(F.col("flags")).items()]
-    return df.select("doc_id", *cols).orderBy("doc_id")
 
 
 def q_bl_validate(spark, sf_dir):
@@ -553,7 +550,9 @@ def q_bl_rare_counts(spark, sf_dir):
 
 def q_bl_rare_file_ops(spark, sf_dir):
     """CreateFile/AppendBlock (parse_file_data) + ExecLoad/DeleteFile
-    (u16 file_id) — mod.rs:663-718."""
+    (u16 file_id) — mod.rs:663-718 — over the synthetic rare-event table,
+    plus BeginLoadQuery (parse_file_data body, mod.rs:896-907) over the
+    reference fixture: all five file-op decoders in one oracle row."""
     outs = []
     for sink in ("CREATE_FILE", "APPEND_BLOCK"):
         outs.append(_rare_decoded(spark, sink).select(
@@ -565,10 +564,14 @@ def q_bl_rare_file_ops(spark, sf_dir):
             "doc_id", F.lit(sink).alias("sink"),
             F.col("d.file_id").cast("long").alias("file_id"),
             F.lit(None).cast("string").alias("block_data")))
+    outs.append(_decoded(spark, "BEGIN_LOAD_QUERY").select(
+        "doc_id", F.lit("BEGIN_LOAD_QUERY").alias("sink"),
+        F.col("d.file_id").alias("file_id"),
+        F.col("d.block_data").alias("block_data")))
     u = outs[0]
     for x in outs[1:]:
         u = u.unionByName(x)
-    return u.orderBy("doc_id")
+    return u.orderBy("sink", "doc_id")
 
 
 def q_bl_rare_incident(spark, sf_dir):
@@ -660,13 +663,6 @@ def q_bl_prev_gtids(spark, sf_dir):
         F.col("d.buf_size").alias("buf_size")).orderBy("doc_id"))
 
 
-def q_bl_begin_load_query(spark, sf_dir):
-    """BeginLoadQuery (parse_file_data body, mod.rs:896-907)."""
-    return (_decoded(spark, "BEGIN_LOAD_QUERY").select(
-        "doc_id", F.col("d.file_id").alias("file_id"),
-        F.col("d.block_data").alias("block_data")).orderBy("doc_id"))
-
-
 def q_bl_exec_load_query(spark, sf_dir):
     """ExecuteLoadQuery (mod.rs:909-964) over the reference fixture."""
     return (_decoded(spark, "EXEC_LOAD_QUERY").select(
@@ -705,7 +701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bl_sink_counts": q_bl_sink_counts,
         "bl_header_decode": q_bl_header_decode,
-        "bl_flag_bits": q_bl_flag_bits,
         "bl_validate": q_bl_validate,
         "bl_xid": q_bl_xid,
         "bl_rotate": q_bl_rotate,
@@ -753,7 +748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bl_rare_user_var": q_bl_rare_user_var,
         "bl_exec_load_query": q_bl_exec_load_query,
         "bl_prev_gtids": q_bl_prev_gtids,
-        "bl_begin_load_query": q_bl_begin_load_query,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -767,23 +761,19 @@ def oracle_sql() -> dict[str, str]:
         f"GROUP BY 1 ORDER BY sink"
     )
 
-    out["bl_header_decode"] = (
-        f"SELECT doc_id, {_u(0, 4)} AS ts_field, tokens[5]::BIGINT AS event_type, "
-        f"{_u(5, 4)} AS server_id, {_u(9, 4)} AS event_size, "
-        f"{_u(13, 4)} AS log_pos, {_u(17, 2)} AS flags, "
-        f"(tokens[n_tok-3]::BIGINT + tokens[n_tok-2]::BIGINT*256 + "
-        f"tokens[n_tok-1]::BIGINT*65536 + tokens[n_tok]::BIGINT*16777216) "
-        f"AS checksum FROM {FX} ORDER BY doc_id"
-    )
-
     flag_names = ["in_use", "forced_rotate", "thread_specific", "suppress_use",
                   "update_table_map_version", "artificial", "relay_log",
                   "ignorable", "no_filter", "mts_isolate"]
     flag_cols = ", ".join(
         f"(({_u(17, 2)} // {1 << i}) % 2)::INT AS flag_{n}"
         for i, n in enumerate(flag_names))
-    out["bl_flag_bits"] = (
-        f"SELECT doc_id, {flag_cols} FROM {FX} ORDER BY doc_id"
+    out["bl_header_decode"] = (
+        f"SELECT doc_id, {_u(0, 4)} AS ts_field, tokens[5]::BIGINT AS event_type, "
+        f"{_u(5, 4)} AS server_id, {_u(9, 4)} AS event_size, "
+        f"{_u(13, 4)} AS log_pos, {_u(17, 2)} AS flags, "
+        f"(tokens[n_tok-3]::BIGINT + tokens[n_tok-2]::BIGINT*256 + "
+        f"tokens[n_tok-1]::BIGINT*65536 + tokens[n_tok]::BIGINT*16777216) "
+        f"AS checksum, {flag_cols} FROM {FX} ORDER BY doc_id"
     )
 
     # NB: each sum() is cast to BIGINT *outside* the aggregate — DuckDB's
@@ -1343,7 +1333,12 @@ GROUP BY doc_id ORDER BY doc_id
         f"AS file_id, "
         f"CASE WHEN tokens[5] IN (8, 9) THEN "
         f"{_extract_string_sql('24', 'n_tok - 4')} END AS block_data "
-        f"FROM {RFX} WHERE tokens[5] IN (8, 9, 10, 11) ORDER BY doc_id"
+        f"FROM {RFX} WHERE tokens[5] IN (8, 9, 10, 11) "
+        f"UNION ALL "
+        f"SELECT doc_id, 'BEGIN_LOAD_QUERY' AS sink, {_u(19, 4)} AS file_id, "
+        f"{_extract_string_sql('24', 'n_tok - 4')} AS block_data "
+        f"FROM {FX} WHERE tokens[5] = 17 "
+        f"ORDER BY sink, doc_id"
     )
 
     out["bl_rare_incident"] = (
@@ -1440,12 +1435,6 @@ FROM o ORDER BY doc_id
         f"(tokens[n_tok-7]::BIGINT + tokens[n_tok-6]::BIGINT*256 + "
         f"tokens[n_tok-5]::BIGINT*65536 + tokens[n_tok-4]::BIGINT*16777216) "
         f"AS buf_size FROM {FX} WHERE tokens[5] = 35 ORDER BY doc_id"
-    )
-
-    out["bl_begin_load_query"] = (
-        f"SELECT doc_id, {_u(19, 4)} AS file_id, "
-        f"{_extract_string_sql('24', 'n_tok - 4')} AS block_data "
-        f"FROM {FX} WHERE tokens[5] = 17 ORDER BY doc_id"
     )
 
     # ExecuteLoadQuery over the reference fixture (mod.rs:909-964)
