@@ -488,7 +488,8 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_lsh_ann(spark, sf_dir):
-    return vecops.signbit_lsh_ann(_tbl(spark, sf_dir, "embeddings"), 4, 3)
+    return vecops.signbit_lsh_ann(_tbl(spark, sf_dir, "embeddings"),
+                                  bits=6, k=3, bands=3, max_bucket=64)
 
 
 def q_emb_ivf_ann(spark, sf_dir):
@@ -500,7 +501,8 @@ def q_emb_ivf_recall(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
-    return vecops.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), 0.35, 2)
+    return vecops.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"),
+                                       0.35, bits=6, bands=3, max_bucket=64)
 
 
 # --- non-SQL-expressible (rows-only driver check) ----------------------------
@@ -1190,17 +1192,32 @@ GROUP BY doc_id ORDER BY doc_id
         f"AS sim FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"
     )
 
-    bucket4 = (
-        vecops.plane_bucket_sql("embedding", 4)
-    )
-    cos_ab = _cos_sql("a.qv", "b.cv")
+    # banded sign-bit LSH (bits=6 per band, 3 bands, bucket cap 64) —
+    # replicates vecops._banded_candidates exactly: candidates collide in
+    # any band whose bucket survived the cap, then exact cosine.
+    def _banded_cand_sql(bits: int, bands: int, cap: int, op: str) -> str:
+        band_selects = " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, "
+            f"{vecops.plane_bucket_sql('embedding', bits, b, bands)} AS bucket "
+            f"FROM embeddings"
+            for b in range(bands))
+        return (
+            f"bk AS ({band_selects}), "
+            f"ok AS (SELECT band, bucket FROM bk GROUP BY 1, 2 "
+            f"HAVING count(*) <= {cap}), "
+            f"bko AS (SELECT bk.vec_id, bk.band, bk.bucket FROM bk "
+            f"JOIN ok USING (band, bucket)), "
+            f"cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
+            f"FROM bko l JOIN bko r ON l.band = r.band "
+            f"AND l.bucket = r.bucket AND l.vec_id {op} r.vec_id)")
+
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
     out["emb_lsh_ann"] = (
-        f"WITH e AS (SELECT vec_id, embedding, {bucket4} AS bucket "
-        f"FROM embeddings), "
-        f"a AS (SELECT bucket, vec_id AS query_id, embedding AS qv FROM e), "
-        f"b AS (SELECT bucket, vec_id AS neighbor_id, embedding AS cv FROM e), "
-        f"scored AS (SELECT query_id, neighbor_id, {cos_ab} AS sim "
-        f"FROM a JOIN b ON a.bucket = b.bucket AND query_id != neighbor_id), "
+        f"WITH {_banded_cand_sql(6, 3, 64, '!=')}, "
+        f"scored AS (SELECT cand.vec_a AS query_id, cand.vec_b AS neighbor_id, "
+        f"{cos_ab} AS sim FROM cand "
+        f"JOIN embeddings a ON cand.vec_a = a.vec_id "
+        f"JOIN embeddings b ON cand.vec_b = b.vec_id), "
         f"ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
         f"(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
         f"FROM scored) "
@@ -1290,17 +1307,13 @@ GROUP BY doc_id ORDER BY doc_id
         f"LEFT JOIN hits h ON qq.query_id = h.query_id ORDER BY qq.query_id"
     )
 
-    bucket2 = (
-        vecops.plane_bucket_sql("embedding", 2)
-    )
-    cos_pair = _cos_sql("a.va", "b.vb")
+    cos_pair = _cos_sql("a.embedding", "b.embedding")
     out["emb_neardup"] = (
-        f"WITH e AS (SELECT vec_id, embedding, {bucket2} AS bucket "
-        f"FROM embeddings), "
-        f"a AS (SELECT bucket, vec_id AS vec_a, embedding AS va FROM e), "
-        f"b AS (SELECT bucket, vec_id AS vec_b, embedding AS vb FROM e) "
-        f"SELECT vec_a, vec_b, round({cos_pair}, 6) AS sim "
-        f"FROM a JOIN b ON a.bucket = b.bucket AND vec_a < vec_b "
+        f"WITH {_banded_cand_sql(6, 3, 64, '<')} "
+        f"SELECT cand.vec_a, cand.vec_b, round({cos_pair}, 6) AS sim "
+        f"FROM cand "
+        f"JOIN embeddings a ON cand.vec_a = a.vec_id "
+        f"JOIN embeddings b ON cand.vec_b = b.vec_id "
         f"WHERE round({cos_pair}, 6) >= 0.35 ORDER BY vec_a, vec_b"
     )
 

@@ -58,27 +58,76 @@ def _plane_dot(col: str, plane: list[float]) -> str:
     return DOT.format(a=col, b=lit)
 
 
-def plane_bucket_expr(col: str, bits: int):
-    """Sign-bit bucket id over seeded hyperplanes as one JVM expression."""
-    planes = lsh_planes(bits)
+def _bucket_from_planes_expr(col: str, planes: list[list[float]]):
     bucket = None
-    for j in range(bits):
-        bit = F.when(F.expr(_plane_dot(col, planes[j])) >= 0, 1).otherwise(0)
+    for p in planes:
+        bit = F.when(F.expr(_plane_dot(col, p)) >= 0, 1).otherwise(0)
         bucket = bit if bucket is None else bucket * 2 + bit
     return bucket
 
 
-def plane_bucket_sql(col: str, bits: int) -> str:
-    """The identical bucket id in DuckDB SQL (sequential fold both sides)."""
-    planes = lsh_planes(bits)
+def plane_bucket_expr(col: str, bits: int, band: int = 0, bands: int = 1):
+    """Sign-bit bucket id for one LSH band as a JVM expression: band `b`
+    of `bands` uses plane rows [b*bits, (b+1)*bits) of the shared seeded
+    plane matrix, so every band is an independent hash family."""
+    planes = lsh_planes(bands * bits)
+    return _bucket_from_planes_expr(col, planes[band * bits:(band + 1) * bits])
+
+
+def plane_bucket_sql(col: str, bits: int, band: int = 0, bands: int = 1) -> str:
+    """The identical band-bucket id in DuckDB SQL (sequential fold both
+    sides)."""
+    planes = lsh_planes(bands * bits)[band * bits:(band + 1) * bits]
     parts = []
-    for j in range(bits):
-        lit = "[" + ",".join(f"{x}::DOUBLE" for x in planes[j]) + "]"
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(f"{x}::DOUBLE" for x in p) + "]"
         dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
                f"list_zip({col}, {lit}).list_transform(p -> "
                f"p[1]::DOUBLE * p[2])), (acc, v) -> acc + v)")
         parts.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << (bits - 1 - j)}")
     return "(" + " + ".join(parts) + ")"
+
+
+def _banded_buckets(emb: DataFrame, bits: int, bands: int,
+                    max_bucket: int | None) -> DataFrame:
+    """(vec_id, band, bucket) rows over `bands` independent sign-bit hash
+    families, with band buckets larger than `max_bucket` dropped.
+
+    This is the cosine twin of textops._lsh_banded and the 100 TB scale
+    contract: the ABSOLUTE cap bounds every per-bucket self-join at
+    max_bucket² candidates regardless of corpus size (a fixed 2^bits
+    bucket count alone leaves each bucket O(n/2^bits) — quadratic again at
+    scale), while extra bands recover the recall that finer buckets cost.
+    One posexplode evaluates all band keys in a single pass over the
+    vectors; dropped buckets trade recall only inside mega-clusters, which
+    exact dedup upstream already collapses."""
+    keys = F.array(*[
+        plane_bucket_expr("embedding", bits, band=b, bands=bands)
+        for b in range(bands)])
+    banded = emb.select(
+        "vec_id", F.posexplode(keys).alias("band", "bucket"))
+    if max_bucket is None:
+        return banded
+    ok = (banded.groupBy("band", "bucket")
+          .agg(F.count("*").alias("_bsz"))
+          .where(F.col("_bsz") <= max_bucket)
+          .drop("_bsz"))
+    return banded.join(ok, ["band", "bucket"])
+
+
+def _banded_candidates(emb: DataFrame, bits: int, bands: int,
+                       max_bucket: int | None, ordered: bool) -> DataFrame:
+    """Distinct candidate pairs colliding in ANY band. `ordered=True`
+    yields (vec_a < vec_b) pairs; False yields directed (a != b) pairs."""
+    banded = _banded_buckets(emb, bits, bands, max_bucket)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cond = (F.col("l.vec_id") < F.col("r.vec_id") if ordered
+            else F.col("l.vec_id") != F.col("r.vec_id"))
+    return (left.join(right, ["band", "bucket"]).where(cond)
+            .select(F.col("l.vec_id").alias("vec_a"),
+                    F.col("r.vec_id").alias("vec_b"))
+            .distinct())
 
 
 def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
@@ -118,22 +167,29 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     )
 
 
-def signbit_lsh_ann(emb: DataFrame, bits: int = 4, k: int = 3) -> DataFrame:
-    """LSH-bucketed ANN: bucket = sign bits of `bits` seeded random
-    hyperplanes (lsh_planes), then exact top-k cosine within each bucket.
-    At 100 TB the bucket key is the shuffle key; buckets are bounded and
-    the per-bucket join is local."""
-    e = _with_norm(emb.withColumn(
-        "bucket", plane_bucket_expr("embedding", bits)), "embedding", "nrm")
-    a = e.select("bucket", F.col("vec_id").alias("query_id"),
+def signbit_lsh_ann(emb: DataFrame, bits: int = 6, k: int = 3,
+                    bands: int = 3, max_bucket: int | None = 64) -> DataFrame:
+    """Banded LSH ANN: candidates = vectors sharing a sign-bit bucket in
+    ANY of `bands` independent seeded hyperplane families (`bits` planes
+    each), then exact top-k cosine over the distinct candidates.
+
+    Scale contract: 2^bits buckets per band keeps buckets small, the
+    absolute `max_bucket` cap bounds every per-bucket join even where the
+    data piles up, and multi-band probing recovers recall (P(candidate) =
+    1-(1-p^bits)^bands for per-plane agreement p). A 100 TB run raises
+    `bits` (buckets scale with corpus) and keeps the cap; queries whose
+    every band bucket was dropped return no rows — those live in
+    mega-duplicate regions that exact dedup collapses first."""
+    cand = _banded_candidates(emb, bits, bands, max_bucket, ordered=False)
+    v = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
+    q = v.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("qv"), F.col("nrm").alias("nq"))
-    b = e.select("bucket", F.col("vec_id").alias("neighbor_id"),
+    c = v.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("cv"), F.col("nrm").alias("nc"))
-    scored = (
-        a.join(b, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.expr(_pair_sim("qv", "cv", "nq", "nc")))
-    )
+    scored = (cand.join(q, "vec_a").join(c, "vec_b")
+              .select(F.col("vec_a").alias("query_id"),
+                      F.col("vec_b").alias("neighbor_id"),
+                      F.expr(_pair_sim("qv", "cv", "nq", "nc")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -244,19 +300,20 @@ def ivf_recall(emb: DataFrame, n_centroids: int = 8, k: int = 3,
 
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
-                         bits: int = 2) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing
-    a seeded-hyperplane sign-bit bucket are scored (recall trades with
-    `bits`)."""
-    e = _with_norm(emb.withColumn(
-        "bucket", plane_bucket_expr("embedding", bits)), "embedding", "nrm")
-    a = e.select("bucket", F.col("vec_id").alias("vec_a"),
+                         bits: int = 6, bands: int = 3,
+                         max_bucket: int | None = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-bit LSH: candidate
+    pairs collide in any of `bands` hash families (bucket-capped, see
+    _banded_buckets), then the exact cosine filters at `threshold` —
+    precision is exact, the banding only bounds which pairs get scored."""
+    cand = _banded_candidates(emb, bits, bands, max_bucket, ordered=True)
+    v = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
+    a = v.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("va"), F.col("nrm").alias("na"))
-    b = e.select("bucket", F.col("vec_id").alias("vec_b"),
+    b = v.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     return (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a").join(b, "vec_b")
         .withColumn("sim", F.round(F.expr(_pair_sim("va", "vb", "na", "nb")), 6))
         .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")

@@ -103,6 +103,29 @@ def test_cosine_topk_self_similarity(spark):
     assert got[0] == 1  # same bucket, most similar
 
 
+def test_banded_lsh_bucket_cap_drops_mega_clusters(spark):
+    """The absolute per-band bucket cap is the 100 TB contract: a cluster
+    larger than the cap contributes NO candidate pairs (its buckets are
+    dropped in every band), while small clusters still pair up."""
+    # 64-dim (matching the plane dim — shorter vectors null-pad the dot and
+    # collapse every bucket to 0); the (100, 101) pair is the same
+    # direction scaled, so it shares every band bucket by construction
+    e0 = [1.0] + [0.0] * 63
+    e1 = [0.0, 1.0] + [0.0] * 62
+    rows = [(i, e0) for i in range(10)]  # mega-cluster
+    rows += [(100, e1), (101, [x * 2.0 for x in e1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = vecops.cosine_neardup_pairs(
+        emb, 0.9, bits=2, bands=2, max_bucket=4).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # uncapped, the mega-cluster pairs up
+    all_pairs = vecops.cosine_neardup_pairs(
+        emb, 0.9, bits=2, bands=2, max_bucket=None).collect()
+    assert any(r["vec_a"] < 100 and r["vec_b"] < 100 for r in all_pairs)
+
+
 def test_multimodal_plumbing(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, f"payload number {i} with some bytes", "src", 30 + i)
