@@ -508,34 +508,48 @@ def q_emb_neardup(spark, sf_dir):
 # --- non-SQL-expressible (rows-only driver check) ----------------------------
 
 def q_bl_rows_decode(spark, sf_dir):
-    """Row-image cell decode, flattened to one row per cell. The oracle
-    re-walks the payload with a recursive CTE over hardcoded fixture table
-    layouts (the Spark side derives layouts from TABLE_MAP enrich — the
-    general path); pytest additionally holds byte-exact field goldens."""
-    df = _fixture_df(spark)
-    tm = _decoded(spark, "TABLE_MAP").select("source", "log_pos", "d.*")
-    dim = enrich.build_table_map_dim(tm.filter(F.col("parse_error").isNull()))
-    outs = []
-    for sink, n_images in (("WRITE_ROWS_V2", 1), ("UPDATE_ROWS_V2", 2),
-                           ("DELETE_ROWS_V2", 1)):
-        sub = df.filter(F.col("sink") == sink).withColumn(
-            "table_id", layout.u48le(F.col("tokens"), 19))
-        joined = enrich.enrich_rows_events(sub, dim)
-        dec = joined.withColumn(
-            "d", parse.make_rows_udf(n_images)(F.col("tokens"),
-                                               F.col("columns_type")))
-        outs.append(dec.select(
-            "doc_id", F.lit(sink).alias("sink"),
-            F.col("d.table_id").alias("table_id"),
-            F.col("d.column_count").alias("column_count"),
-            F.posexplode(F.col("d.rows")).alias("image_idx", "cells")))
+    """Row-image cell decode, flattened to one row per cell, over BOTH the
+    reference fixture rows events (extra_data always the ==2 empty case)
+    and the synthetic rare-table WriteRows whose extra_data blocks exercise
+    every ExtraDataFormat (rows.rs:48-79 NDB/OPEN1/OPEN2/MULTI + a
+    two-entry many1 case the reference fixtures never hit). The oracle
+    re-walks the payloads with a recursive CTE over hardcoded table
+    layouts and rebuilds the extra_data JSON from the raw bytes (the
+    Spark side derives layouts from TABLE_MAP enrich — the general path);
+    pytest additionally holds byte-exact field goldens."""
+    def branches(df, dim_src, sinks):
+        tm = dim_src.select("source", "log_pos", "d.*")
+        dim = enrich.build_table_map_dim(
+            tm.filter(F.col("parse_error").isNull()))
+        outs = []
+        for sink, n_images in sinks:
+            sub = df.filter(F.col("sink") == sink).withColumn(
+                "table_id", layout.u48le(F.col("tokens"), 19))
+            joined = enrich.enrich_rows_events(sub, dim)
+            dec = joined.withColumn(
+                "d", parse.make_rows_udf(n_images)(F.col("tokens"),
+                                                   F.col("columns_type")))
+            outs.append(dec.select(
+                "doc_id", F.lit(sink).alias("sink"),
+                F.col("d.table_id").alias("table_id"),
+                F.col("d.column_count").alias("column_count"),
+                F.col("d.extra_data").alias("extra_data"),
+                F.posexplode(F.col("d.rows")).alias("image_idx", "cells")))
+        return outs
+    outs = branches(
+        _fixture_df(spark), _decoded(spark, "TABLE_MAP"),
+        (("WRITE_ROWS_V2", 1), ("UPDATE_ROWS_V2", 2), ("DELETE_ROWS_V2", 1)))
+    outs += branches(
+        _rare_df(spark), _rare_decoded(spark, "TABLE_MAP"),
+        (("WRITE_ROWS_V2", 1),))
     u = outs[0]
     for x in outs[1:]:
         u = u.unionByName(x)
     return (u.select(
-        "doc_id", "sink", "table_id", "column_count", "image_idx",
-        F.posexplode("cells").alias("col_idx", "cell"))
-        .select("doc_id", "sink", "table_id", "column_count", "image_idx",
+        "doc_id", "sink", "table_id", "column_count", "extra_data",
+        "image_idx", F.posexplode("cells").alias("col_idx", "cell"))
+        .select("doc_id", "sink", "table_id", "column_count", "extra_data",
+                "image_idx",
                 "col_idx", F.col("cell.kind").alias("kind"),
                 F.array_join(F.col("cell.bytes"), ",").alias("bytes_csv"),
                 F.col("cell.num_val").alias("num_val"))
@@ -1477,34 +1491,57 @@ FROM o ORDER BY doc_id
         "(CASE WHEN ((u32 >> 23) & 255) = 0 THEN (u32 & 8388607)::DOUBLE * power(2.0, -149) "
         "ELSE ((u32 & 8388607) + 8388608)::DOUBLE * power(2.0, ((u32 >> 23) & 255) - 150) END)"
     )
-    out["bl_rows_decode"] = f"""
-WITH RECURSIVE ev AS (
-  SELECT doc_id,
+    # extra_data JSON rebuilt from raw bytes: one entry is
+    # type(1)+length(1)+format(1)+payload(L); a second entry follows when
+    # the declared block isn't exhausted (many1, rows.rs:48-79)
+    _x_fmt = ("CASE tokens[{p} + 2] WHEN 0 THEN 'NDB' WHEN 64 THEN 'OPEN1' "
+              "WHEN 65 THEN 'OPEN2' ELSE 'MULTI' END")
+    def _x_entry(p: str) -> str:
+        return (
+            f"'{{\"length\":' || tokens[{p} + 1] || ',\"format\":\"' || "
+            f"{_x_fmt.format(p=p)} || '\",\"payload\":\"' || "
+            f"{_extract_string_sql(f'{p} + 3', f'{p} + 2 + tokens[{p} + 1]')}"
+            f" || '\"}}'")
+    _x_json = (
+        f"CASE WHEN xlen = 2 THEN '[]' ELSE "
+        f"'[' || {_x_entry('30')} || "
+        f"CASE WHEN 3 + tokens[31] < xlen - 2 "
+        f"THEN ',' || {_x_entry('(33 + tokens[31])')} ELSE '' END || ']' END")
+    _x_ev_select = f"""
+    {_u(27, 2)} AS xlen,
     CASE tokens[5] WHEN 30 THEN 'WRITE_ROWS_V2' WHEN 31 THEN 'UPDATE_ROWS_V2'
                    ELSE 'DELETE_ROWS_V2' END AS sink,
     {_u(19, 6)} AS table_id,
-    tokens[30]::INTEGER AS cc,
-    ((tokens[30] + 7) // 8)::BIGINT AS bl,
+    tokens[28 + xlen]::INTEGER AS cc,
+    ((tokens[28 + xlen] + 7) // 8)::BIGINT AS bl,
     (CASE WHEN tokens[5] = 31 THEN 2 ELSE 1 END)::BIGINT AS n_images,
-    tokens, n_tok
+    {_x_json} AS extra_data,
+    tokens, n_tok"""
+    out["bl_rows_decode"] = f"""
+WITH RECURSIVE ev AS (
+  SELECT doc_id, {_x_ev_select}
   FROM {FX} WHERE tokens[5] IN (30, 31, 32)
+  UNION ALL
+  SELECT doc_id, {_x_ev_select}
+  FROM {RFX} WHERE tokens[5] IN (30, 31, 32)
 ),
 lay(lcc, ci, tid, m0) AS (VALUES
+  (1, 0, 3, 0),
   (2, 0, 3, 0), (2, 1, 15, 160),
   (9, 0, 3, 0), (9, 1, 15, 400), (9, 2, 15, 160),
   (9, 3, 252, 2), (9, 4, 252, 3), (9, 5, 252, 4),
   (9, 6, 4, 0), (9, 7, 5, 0), (9, 8, 246, 5)
 ),
 walk AS (
-  SELECT doc_id, sink, table_id, cc, bl, tokens,
-    (31 + bl * n_images + bl)::BIGINT AS pos,
+  SELECT doc_id, sink, table_id, cc, bl, extra_data, tokens,
+    (29 + xlen + bl * n_images + bl)::BIGINT AS pos,
     (n_tok - 3)::BIGINT AS data_end,
     0 AS image_idx, 0 AS col_idx,
     CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS bytes_csv,
     CAST(NULL AS DOUBLE) AS num_val
   FROM ev
   UNION ALL
-  SELECT doc_id, sink, table_id, cc, bl, tokens,
+  SELECT doc_id, sink, table_id, cc, bl, extra_data, tokens,
     CASE WHEN col_idx >= cc THEN pos + bl ELSE pos + w.width END AS pos,
     data_end,
     CASE WHEN col_idx >= cc THEN image_idx + 1 ELSE image_idx END AS image_idx,
@@ -1559,7 +1596,7 @@ walk AS (
   ) w
   WHERE walk.col_idx < walk.cc OR walk.pos < walk.data_end
 )
-SELECT doc_id, sink, table_id, cc::INTEGER AS column_count,
+SELECT doc_id, sink, table_id, cc::INTEGER AS column_count, extra_data,
        image_idx, (col_idx - 1) AS col_idx, kind, bytes_csv, num_val
 FROM walk WHERE kind IS NOT NULL
 ORDER BY doc_id, image_idx, col_idx

@@ -1210,7 +1210,11 @@ def decode_rows_py(buf: bytes, col_defs: list[tuple[int, list[int]]],
         "foreign_key_checks": foreign_key_checks,
         "unique_key_checks": unique_key_checks, "has_columns": has_columns,
         "extra_data_len": extra_data_len,
-        "extra_data": json.dumps(extra, separators=(",", ":")),
+        # the ==2 empty block is the overwhelmingly common case (every
+        # reference fixture); skip json.dumps for it (~30% of this
+        # function's profile on empty-extra batches)
+        "extra_data": ("[]" if not extra
+                       else json.dumps(extra, separators=(",", ":"))),
         "column_count": column_count, "image_bits1": bits1,
         "image_bits2": bits2, "rows": rows,
     }

@@ -202,3 +202,44 @@ def test_parse_defs_full_matrix():
         (253, [1, 2]), (254, [253, 8]), (16, [12, 4]), (255, [1]),
         (17, [3]), (18, [6]), (17, [5]), (3, []),
     ]
+
+
+def test_rows_extra_data_formats():
+    """extra_data_len > 2 path (rows.rs:48-79): every ExtraDataFormat plus
+    the many1 two-entry case — the reference fixtures only hit the ==2
+    empty block. Mirrors the committed rare-table events (fixture_gen)."""
+    import json as _json
+    defs = [(3, [])]  # one Long column
+
+    def rows_event(entries, value):
+        extra = b"".join(bytes([0x00, len(pl), fmt]) + pl
+                         for fmt, pl in entries)
+        p = struct.pack("<IH", 0x0505, 0)[:6]
+        p += struct.pack("<H", 1)
+        p += struct.pack("<H", 2 + len(extra)) + extra
+        p += bytes([1, 0x01, 0x00]) + struct.pack("<i", value)
+        return make_event(0x1E, p)
+
+    cases = {
+        "NDB": [(0x00, b"ndbinfo")],
+        "OPEN1": [(0x40, b"open1pay")],
+        "OPEN2": [(0x41, b"open2")],
+        "MULTI": [(0xFF, b"multi")],
+    }
+    for fmt_name, entries in cases.items():
+        d = parse.decode_rows_py(rows_event(entries, 7), defs, 1)
+        got = _json.loads(d["extra_data"])
+        assert got == [{"length": len(entries[0][1]), "format": fmt_name,
+                        "payload": entries[0][1].decode()}]
+        assert d["rows"] == [[{"kind": "Long", "bytes": [7, 0, 0, 0],
+                               "num_val": None}]]
+    # many1: two entries in one block
+    d = parse.decode_rows_py(
+        rows_event([(0x40, b"a"), (0xFF, b"bc")], 9), defs, 1)
+    assert _json.loads(d["extra_data"]) == [
+        {"length": 1, "format": "OPEN1", "payload": "a"},
+        {"length": 2, "format": "MULTI", "payload": "bc"}]
+    # unknown format byte is a hard error (reference unreachable!())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse.decode_rows_py(rows_event([(0x42, b"x")], 1), defs, 1)

@@ -152,6 +152,42 @@ def rare_events() -> list[tuple[str, str, bytes]]:
     for k, tid in enumerate((0x03, 0x07, 0x1B, 0x03, 0x07, 0x1B)):
         add("header_only", make_event(tid, b"", timestamp=2000 + k,
                                       log_pos=64 + 4 * k))
+
+    # WriteRowsV2 with extra_data_len > 2 (rows.rs:48-79): every
+    # ExtraDataFormat (NDB/OPEN1/OPEN2/MULTI) plus a two-entry block —
+    # the reference's own fixtures only ever hit the ==2 empty case.
+    # One-column (Long) table; the TableMap below feeds the enrich join.
+    rx_tid = 0x0505
+    tm = struct.pack("<IH", rx_tid, 0)[:6]   # u48 table_id
+    tm += struct.pack("<H", 1)               # tm_flags
+    tm += bytes([3]) + b"rdb" + b"\x00"      # schema (len-prefixed + NUL)
+    tm += bytes([4]) + b"rows" + b"\x00"     # table
+    tm += bytes([1])                         # column_count (lenenc)
+    tm += bytes([0x03])                      # type_ids: Long
+    tm += bytes([0])                         # metadata length (lenenc)
+    tm += bytes([0])                         # null_bits
+    # same `source` as the rows events below — the enrich join keys on
+    # (source, table_id)
+    add("rows_extra", make_event(0x13, tm, log_pos=100))
+
+    extra_cases = [
+        [(0x00, b"ndbinfo")],                # NDB
+        [(0x40, b"open1pay")],               # OPEN1
+        [(0x41, b"open2")],                  # OPEN2
+        [(0xFF, b"multi")],                  # MULTI
+        [(0x40, b"a"), (0xFF, b"bc")],       # many1: two entries
+    ]
+    for k, entries in enumerate(extra_cases):
+        extra = b"".join(bytes([0x00, len(pl), fmt]) + pl
+                         for fmt, pl in entries)
+        p = struct.pack("<IH", rx_tid, 0)[:6]        # u48 table_id
+        p += struct.pack("<H", 1)                    # flags: end_of_stmt
+        p += struct.pack("<H", 2 + len(extra)) + extra
+        p += bytes([1])                              # column_count (lenenc)
+        p += bytes([0x01])                           # image bits1
+        p += bytes([0x00])                           # row null bitmap
+        p += struct.pack("<i", 1000 + k)             # Long cell
+        add("rows_extra", make_event(0x1E, p, log_pos=104 + 4 * k))
     return rows
 
 
