@@ -91,3 +91,32 @@ def test_salt_spreads_hot_types(spark, fixture_parquet):
         F.col("salt") >= layout.SALT_FACTORS.get("QUERY", 16)).filter(
         F.col("sink") == "QUERY").count()
     assert bad == 0
+
+
+def test_neardup_candidate_generation_has_no_cross_join(spark):
+    """Every near-dup/ANN candidate generator must stay an equi-join on
+    bucket/band keys — a CartesianProduct (or a nested-loop join of two
+    big sides) is the 100 TB failure mode. The 1-row count broadcast in
+    ngram_jaccard is the only sanctioned nested-loop (scalar-aggregate
+    crossJoin)."""
+    from binlogpipe import textops, vecops
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words", "s") for i in range(8)],
+        "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0] * 16) for i in range(8)],
+        "vec_id long, embedding array<float>")
+
+    plans = {
+        "minhash_pairs": _plan(textops.minhash_lsh_pairs(docs)),
+        "jaccard_pairs": _plan(textops.ngram_jaccard_pairs(docs)),
+        "lsh_ann": _plan(vecops.signbit_lsh_ann(emb)),
+        "cosine_neardup": _plan(vecops.cosine_neardup_pairs(emb)),
+        "ivf_ann": _plan(vecops.ivf_ann(emb, n_centroids=2, n_queries=2)),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, (name, plan)
+    for name in ("minhash_pairs", "lsh_ann", "cosine_neardup"):
+        assert "BroadcastNestedLoopJoin" not in plans[name], (
+            name, plans[name])
