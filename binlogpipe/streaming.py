@@ -211,6 +211,13 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
         snap_path = str(dim_root / f"v={batch_id}")
         snap.write.mode("overwrite").parquet(snap_path)
         dim = spark.read.parquet(snap_path).drop("doc_id")
+        # retention: a long-running stream would otherwise accumulate one
+        # snapshot dir per micro-batch. Keep the current one plus the two
+        # newest predecessors — Structured Streaming replays at most the
+        # last uncommitted batch, and its rebuild reads only max(v<N).
+        import shutil as _sh
+        for k in sorted(prior)[:-2]:
+            _sh.rmtree(dim_root / f"v={k}", ignore_errors=True)
 
         present = [r["sink"] for r in
                    batch_routed.select("sink").distinct().collect()]
