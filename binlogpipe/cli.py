@@ -1,8 +1,9 @@
 """CLI analog of the reference's `bcrab` commands
 (`/root/reference/crates/old/src/cli.rs:13-161`), Spark-first:
 
-  trans <input parquet> <out dir> [--format json|yaml]   # cli.rs `trans`
-  desc  <input parquet>                                  # cli.rs `desc`
+  trans   <input parquet> <out dir> [--format json|yaml]  # cli.rs `trans`
+  desc    <input parquet>                                 # cli.rs `desc`
+  compact <out dir> <sink> [--target-file-mb N]           # sink small-file compaction
 
 `trans` runs the full DAG to typed sinks (the Iceberg/parquet analog of the
 reference's serde JSON/YAML dump); `--format json|yaml` additionally writes
@@ -81,6 +82,13 @@ def cmd_desc(args) -> None:
     agg.desc_report(hdr, fd).show(100, truncate=False)
 
 
+def cmd_compact(args) -> None:
+    spark = build_spark(app="binlogpipe-compact")
+    n = job.compact_sink(spark, args.out, args.sink,
+                         target_file_mb=args.target_file_mb)
+    print(json.dumps({"sink": args.sink, "files": n}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="binlogpipe")
     sub = ap.add_subparsers(required=True)
@@ -98,6 +106,14 @@ def main() -> None:
     d = sub.add_parser("desc", help="event counts + first FormatDesc summary")
     d.add_argument("input")
     d.set_defaults(fn=cmd_desc)
+
+    c = sub.add_parser("compact", help="rewrite a typed sink at "
+                                       "~target-file-mb per file (small-file "
+                                       "compaction; crash-safe swap)")
+    c.add_argument("out", help="pipeline output dir (contains sinks/)")
+    c.add_argument("sink", help="sink name, e.g. QUERY")
+    c.add_argument("--target-file-mb", type=int, default=256)
+    c.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args()
     args.fn(args)
