@@ -160,7 +160,7 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
@@ -193,7 +193,7 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 6, k: int = 3,
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
@@ -273,7 +273,7 @@ def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
               .withColumn("sim", F.expr(_pair_sim("qv", "cv", "nq", "nc"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     F.round("sim", 6).alias("sim"))
