@@ -179,7 +179,13 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 6, k: int = 3,
     1-(1-p^bits)^bands for per-plane agreement p). A 100 TB run raises
     `bits` (buckets scale with corpus) and keeps the cap; queries whose
     every band bucket was dropped return no rows — those live in
-    mega-duplicate regions that exact dedup collapses first."""
+    mega-duplicate regions that exact dedup collapses first.
+
+    Regime: sign-bit LSH serves HIGH-similarity retrieval (near-duplicate
+    detection — p^bits is large only when the angle is small; planted
+    jittered copies recall 30/30 in the test suite). For general top-k
+    over weakly-similar corpora use `ivf_ann`, whose probe-list recall is
+    gauged by `ivf_recall`."""
     cand = _banded_candidates(emb, bits, bands, max_bucket, ordered=False)
     v = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
     q = v.select(F.col("vec_id").alias("vec_a"),

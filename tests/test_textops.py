@@ -126,6 +126,35 @@ def test_banded_lsh_bucket_cap_drops_mega_clusters(spark):
     assert any(r["vec_a"] < 100 and r["vec_b"] < 100 for r in all_pairs)
 
 
+def test_banded_lsh_recall_on_planted_near_dups(spark):
+    """Regime contract: banded sign-bit LSH serves the HIGH-similarity
+    near-duplicate regime (the dedup use case). Jittered copies planted
+    among random 64-dim vectors must all be recovered — by the pair op and
+    as each other's ANN top-1 — and nothing below the threshold may leak
+    through (the exact-cosine verify makes precision exact). Low-similarity
+    top-k retrieval is the IVF path (emb_ivf_recall gauges it)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 64)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(200)]
+    for j in range(30):
+        v = base[j] + 0.08 * rng.randn(64)
+        rows.append((1000 + j, v.astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {(r.vec_a, r.vec_b): r.sim
+             for r in vecops.cosine_neardup_pairs(emb, 0.9).collect()}
+    planted = {(j, 1000 + j) for j in range(30)}
+    assert planted <= set(pairs), planted - set(pairs)  # full recall
+    assert set(pairs) == planted                        # exact precision
+    assert all(s >= 0.9 for s in pairs.values())
+
+    got = {r.query_id: r.neighbor_id
+           for r in vecops.signbit_lsh_ann(emb, k=1).collect()}
+    assert all(got.get(j) == 1000 + j for j in range(30))
+
+
 def test_multimodal_plumbing(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, f"payload number {i} with some bytes", "src", 30 + i)
