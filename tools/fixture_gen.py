@@ -199,15 +199,20 @@ def write_rare_events_parquet(path: Path) -> int:
 
 
 def write_synth_parquet(path: Path, factor: int, seed: int = 42,
-                        row_group_size: int = 25_000) -> int:
+                        row_group_size: int = 25_000,
+                        chunk_factor: int = 36_145) -> int:
     """Deterministic scale-up: `factor` copies of every fixture event with
     seeded header perturbation (timestamp/server_id/log_pos bytes only —
     payloads untouched so per-type decode goldens hold; event-type skew
     preserved).
 
-    Fully vectorized: one flat byte buffer of all replicas with patched
+    Fully vectorized: a flat byte buffer of the replicas with patched
     header fields, turned into an Arrow list<int32> column zero-copy via
-    (offsets, values)."""
+    (offsets, values). Generation is CHUNKED at `chunk_factor` replicas
+    per Arrow write (~6M events): the flat int32 cast for the whole buffer
+    would need ~1 GB RAM per factor-10k, so sf1.0 (60M events) cannot be
+    one materialization. One rng drawn sequentially across chunks keeps
+    the output deterministic for a given (seed, chunk_factor)."""
     rows = load_fixture_events()
     rng = np.random.default_rng(seed)
     base_flat = np.frombuffer(b"".join(ev for _, _, ev in rows), np.uint8)
@@ -215,41 +220,54 @@ def write_synth_parquet(path: Path, factor: int, seed: int = 42,
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     base_len = int(lens.sum())
     n_base = len(rows)
-    n_total = n_base * factor
-
-    flat = np.tile(base_flat, factor).astype(np.int64)
-    # per-replica random header fields, little-endian patched in bulk
-    ev_starts = (np.tile(starts, factor)
-                 + np.repeat(np.arange(factor, dtype=np.int64), n_base) * base_len)
-    for field_off, vals in (
-        (0, rng.integers(0, 2**31, n_total, dtype=np.int64)),    # timestamp
-        (5, rng.integers(1, 2**31, n_total, dtype=np.int64)),    # server_id
-        (13, rng.integers(4, 2**31, n_total, dtype=np.int64)),   # log_pos
-    ):
-        for k in range(4):
-            flat[ev_starts + field_off + k] = (vals >> (8 * k)) & 0xFF
-
-    all_lens = np.tile(lens, factor)
-    offsets = np.concatenate(([0], np.cumsum(all_lens))).astype(np.int64)
-    tokens_col = pa.LargeListArray.from_arrays(
-        pa.array(offsets), pa.array(flat.astype(np.int32)))
-    tokens_col = tokens_col.cast(pa.list_(pa.int32()))
-
     srcs = [src for _, src, _ in rows]
     base_ids = [doc_id for doc_id, _, _ in rows]  # "<fixture>/<event_idx>"
-    doc_ids = [f"{base_ids[j]}/r{rep}"
-               for rep in range(factor) for j in range(n_base)]
-    source_col = pa.DictionaryArray.from_arrays(
-        pa.array(np.tile(np.arange(n_base, dtype=np.int32), factor)),
-        pa.array(srcs)).cast(pa.string())
-    table = pa.table({
-        "doc_id": pa.array(doc_ids, pa.string()),
-        "tokens": tokens_col,
-        "n_tok": pa.array(all_lens.astype(np.int32)),
-        "source": source_col,
-    })
-    pq.write_table(table, path, row_group_size=row_group_size)
-    return n_total
+
+    writer = None
+    rep0 = 0
+    try:
+        while rep0 < factor:
+            f = min(chunk_factor, factor - rep0)
+            n = n_base * f
+            flat = np.tile(base_flat, f)
+            # per-replica random header fields, little-endian patched in bulk
+            ev_starts = (np.tile(starts, f)
+                         + np.repeat(np.arange(f, dtype=np.int64), n_base)
+                         * base_len)
+            for field_off, vals in (
+                (0, rng.integers(0, 2**31, n, dtype=np.int64)),   # timestamp
+                (5, rng.integers(1, 2**31, n, dtype=np.int64)),   # server_id
+                (13, rng.integers(4, 2**31, n, dtype=np.int64)),  # log_pos
+            ):
+                for k in range(4):
+                    flat[ev_starts + field_off + k] = (
+                        (vals >> (8 * k)) & 0xFF).astype(np.uint8)
+
+            all_lens = np.tile(lens, f)
+            offsets = np.concatenate(([0], np.cumsum(all_lens)))
+            tokens_col = pa.LargeListArray.from_arrays(
+                pa.array(offsets), pa.array(flat.astype(np.int32)))
+            tokens_col = tokens_col.cast(pa.list_(pa.int32()))
+            doc_ids = [f"{base_ids[j]}/r{rep}"
+                       for rep in range(rep0, rep0 + f)
+                       for j in range(n_base)]
+            source_col = pa.DictionaryArray.from_arrays(
+                pa.array(np.tile(np.arange(n_base, dtype=np.int32), f)),
+                pa.array(srcs)).cast(pa.string())
+            table = pa.table({
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "tokens": tokens_col,
+                "n_tok": pa.array(all_lens.astype(np.int32)),
+                "source": source_col,
+            })
+            if writer is None:
+                writer = pq.ParquetWriter(path, table.schema)
+            writer.write_table(table, row_group_size=row_group_size)
+            rep0 += f
+    finally:
+        if writer is not None:
+            writer.close()
+    return n_base * factor
 
 
 def golden_sink_counts(rows) -> Counter:
