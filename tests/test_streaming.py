@@ -126,6 +126,12 @@ def test_stream_full_dag_matches_batch(spark, fixture_parquet, tmp_path):
         got[sink_dir.name] = spark.read.parquet(str(sink_dir)).count()
     assert got == GOLDEN_COUNTS
 
+    # dim snapshots are versioned per batch with retention (last 3): the
+    # incremental rebuild reads only max(v<N), so a long-running stream
+    # must not accumulate one snapshot dir per micro-batch
+    snaps = sorted(p.name for p in (out / "table_map_dim").glob("v=*"))
+    assert len(snaps) <= 3 and "v=3" in snaps, snaps
+
     # typed decode parity with the batch DAG on a payload-bearing sink
     from binlogpipe.job import run_pipeline
     bout = tmp_path / "full_batch"
