@@ -3,6 +3,7 @@
 
   trans   <input parquet> <out dir> [--format json|yaml]  # cli.rs `trans`
   desc    <input parquet>                                 # cli.rs `desc`
+  stream  <input dir> <out dir> [--checkpoint D]          # cli.rs `conn` analog
   compact <out dir> <sink> [--target-file-mb N]           # sink small-file compaction
 
 `trans` runs the full DAG to typed sinks (the Iceberg/parquet analog of the
@@ -82,6 +83,24 @@ def cmd_desc(args) -> None:
     agg.desc_report(hdr, fd).show(100, truncate=False)
 
 
+def cmd_stream(args) -> None:
+    """`conn` analog (cli.rs:162 / connection.rs): the reference follows a
+    live replication stream; the Spark-native form is the incremental
+    streaming full DAG over a growing input directory — drain everything
+    available now through route + cumulative TableMap dim + typed sinks,
+    resumable from the checkpoint (re-invoke to catch up again; the wire
+    protocol itself is intentionally not ported, SURVEY §3.3)."""
+    from . import streaming
+
+    spark = build_spark(app="binlogpipe-stream")
+    ck = args.checkpoint or str(Path(args.out) / "_stream_checkpoint")
+    streaming.run_full_available_now(
+        spark, args.input, args.out, ck,
+        max_files_per_trigger=args.max_files_per_trigger)
+    sinks = sorted(p.name for p in (Path(args.out) / "sinks").iterdir())
+    print(json.dumps({"out": args.out, "checkpoint": ck, "sinks": sinks}))
+
+
 def cmd_compact(args) -> None:
     spark = build_spark(app="binlogpipe-compact")
     n = job.compact_sink(spark, args.out, args.sink,
@@ -106,6 +125,15 @@ def main() -> None:
     d = sub.add_parser("desc", help="event counts + first FormatDesc summary")
     d.add_argument("input")
     d.set_defaults(fn=cmd_desc)
+
+    s = sub.add_parser("stream", help="drain a growing input dir through "
+                                      "the incremental streaming full DAG "
+                                      "(live-replication analog)")
+    s.add_argument("input")
+    s.add_argument("out")
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("compact", help="rewrite a typed sink at "
                                        "~target-file-mb per file (small-file "
