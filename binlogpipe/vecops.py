@@ -305,6 +305,25 @@ def ivf_recall(emb: DataFrame, n_centroids: int = 8, k: int = 3,
             .orderBy("query_id"))
 
 
+def cosine_neardup_clusters(emb: DataFrame, threshold: float = 0.9,
+                            bits: int = 6, bands: int = 3,
+                            max_bucket: int | None = 64) -> DataFrame:
+    """Embedding near-dup output in O(n) instead of O(n + pairs): every
+    vector maps to a representative — the smallest vec_id among its
+    verified near-dup neighbors (or itself). Same one-hop-min
+    dedup-keep-one approximation as textops.minhash_lsh_clusters; at
+    100 TB this is the mode to run, because the pair list of a duplicate
+    cluster is quadratic and this isn't."""
+    pairs = cosine_neardup_pairs(emb, threshold, bits, bands, max_bucket)
+    best = pairs.groupBy("vec_b").agg(F.min("vec_a").alias("rep_min"))
+    return (emb.select("vec_id")
+            .join(best, emb["vec_id"] == best["vec_b"], "left")
+            .select("vec_id",
+                    F.coalesce(F.col("rep_min"), F.col("vec_id")).alias("rep_id"))
+            .withColumn("is_rep", (F.col("rep_id") == F.col("vec_id")).cast("int"))
+            .orderBy("vec_id"))
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          bits: int = 6, bands: int = 3,
                          max_bucket: int | None = 64) -> DataFrame:

@@ -154,6 +154,13 @@ def test_banded_lsh_recall_on_planted_near_dups(spark):
            for r in vecops.signbit_lsh_ann(emb, k=1).collect()}
     assert all(got.get(j) == 1000 + j for j in range(30))
 
+    # O(n) cluster-representative mode: each planted copy maps to its
+    # original, everything else is its own rep
+    reps = {r.vec_id: (r.rep_id, r.is_rep)
+            for r in vecops.cosine_neardup_clusters(emb, 0.9).collect()}
+    assert all(reps[1000 + j] == (j, 0) for j in range(30))
+    assert all(reps[i] == (i, 1) for i in range(200))
+
 
 def test_multimodal_plumbing(spark, tmp_path):
     docs = spark.createDataFrame(
