@@ -52,7 +52,8 @@ EVENTS_PER_SF = 60_000_000  # sf0.1 -> ~6M events (compute-dominant bench)
 QUERY_NAMES = [
     "doc_exact_dedup", "doc_minhash_sig", "doc_neardup_minhash",
     "doc_neardup_clusters", "doc_neardup_jaccard", "doc_fingerprint",
-    "emb_cosine_topk", "emb_ivf_ann", "emb_neardup", "ev_minute_rollup",
+    "emb_cosine_topk", "emb_ivf_ann", "emb_lsh_ann", "emb_neardup",
+    "ev_minute_rollup",
     "ev_sessionize", "tpch_pricing", "tpch_region_revenue",
 ]
 
@@ -271,6 +272,13 @@ def main() -> None:
 
     bench_md = REPO / "BENCH" / "BASELINE.md"
     bench_md.parent.mkdir(exist_ok=True)
+    # everything below the marker is hand-maintained (one-off measurements,
+    # per-round narrative) and survives regeneration
+    APPENDIX_MARK = "<!-- MANUAL APPENDIX -->"
+    appendix = ""
+    if bench_md.exists() and APPENDIX_MARK in bench_md.read_text():
+        appendix = (APPENDIX_MARK
+                    + bench_md.read_text().split(APPENDIX_MARK, 1)[1])
     bench_md.write_text(f"""# BENCH baseline — measured on this sandbox
 
 Input: {n_rows:,} synthesized binlog events (fixture distribution, sf={sf}),
@@ -319,7 +327,8 @@ Query timings at sf={sf} ({CPUS} cores, noop-write-forced, sec):
 
 Reference publishes no numbers (BASELINE.md §1); the operative comparison
 is this harness re-run per round (BENCH_r{{N}}.json).
-""")
+
+{appendix}""")
     print(json.dumps(result))
 
 
