@@ -2,6 +2,7 @@
 (`/root/reference/crates/old/src/cli.rs:13-161`), Spark-first:
 
   trans   <input parquet> <out dir> [--format json|yaml]  # cli.rs `trans`
+          [--binlog]  input is raw .bin binlog files (reference-native)
   desc    <input parquet>                                 # cli.rs `desc`
   stream  <input dir> <out dir> [--checkpoint D]          # cli.rs `conn` analog
   compact <out dir> <sink> [--target-file-mb N]           # sink small-file compaction
@@ -28,8 +29,10 @@ from .session import build_spark
 
 def cmd_trans(args) -> None:
     spark = build_spark(app="binlogpipe-trans")
-    metrics = job.run_pipeline(spark, args.input, args.out,
-                               run_id=args.run_id, resume=not args.no_resume)
+    metrics = job.run_pipeline(
+        spark, args.input, args.out, run_id=args.run_id,
+        resume=not args.no_resume,
+        input_format="binlog" if args.binlog else "parquet")
     print(json.dumps(metrics, indent=1))
     if args.format == "json":
         dump_dir = Path(args.out) / "debug_json"
@@ -120,6 +123,9 @@ def main() -> None:
                    default="parquet")
     t.add_argument("--run-id", default="cli")
     t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--binlog", action="store_true",
+                   help="input is a dir/glob of raw .bin binlog files "
+                        "(reference-native input), not a parquet table")
     t.set_defaults(fn=cmd_trans)
 
     d = sub.add_parser("desc", help="event counts + first FormatDesc summary")

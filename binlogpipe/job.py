@@ -75,8 +75,19 @@ class Checkpoint:
             tmp.replace(self.path)
 
 
-def read_input(spark: SparkSession, input_path: str) -> DataFrame:
-    return spark.read.parquet(input_path)
+def read_input(spark: SparkSession, input_path: str,
+               input_format: str = "parquet") -> DataFrame:
+    """Source seam: the pre-tokenized sequence table (parquet, primary) or
+    a directory of raw `.bin` binlog files split distributedly into the
+    same contract schema (binsource.read_binlog_dir — the reference's own
+    native input, cli.rs read_input)."""
+    if input_format == "parquet":
+        return spark.read.parquet(input_path)
+    if input_format == "binlog":
+        from . import binsource
+
+        return binsource.read_binlog_dir(spark, input_path)
+    raise ValueError(f"unknown input_format {input_format!r}")
 
 
 def write_output(df: DataFrame, fmt: str, path: str,
@@ -117,6 +128,7 @@ def run_pipeline(
     collect_metrics: bool = True,
     sink_format: str = "parquet",
     iceberg_prefix: str = "local.binlog",
+    input_format: str = "parquet",
 ) -> dict:
     """Execute the full DAG. Returns a metrics dict (also persisted).
 
@@ -131,7 +143,7 @@ def run_pipeline(
     metrics: dict = {"run_id": run_id, "stages": {}}
     t_start = time.time()
 
-    src = read_input(spark, input_path)
+    src = read_input(spark, input_path, input_format)
 
     # ---- stage: route (header decode + validation + salted fan-out) ----
     routed_path = str(out / "routed")

@@ -1,0 +1,61 @@
+"""Distributed raw-binlog file source: reading the reference's own
+`tests/events/*/log.bin` files through the binaryFile + mapInPandas
+splitter must reproduce the committed fixture table exactly (same events,
+same per-sink counts), and malformed files must quarantine, not fail."""
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from binlogpipe import binsource, parse
+
+REF_EVENTS = Path("/root/reference/tests/events")
+
+
+def test_binlog_dir_matches_fixture_table(spark, fixture_parquet):
+    src = binsource.read_binlog_dir(spark, f"{REF_EVENTS}/*")
+    fixture = spark.read.parquet(fixture_parquet)
+    got = {(r.doc_id, r.n_tok): list(r.tokens)
+           for r in src.collect()}
+    want = {(r.doc_id, r.n_tok): list(r.tokens)
+            for r in fixture.collect()}
+    assert got == want  # byte-identical events, same ids
+
+    # and the routed counts match the golden distribution
+    counts = {r["sink"]: r["n"]
+              for r in parse.with_header(src).groupBy("sink")
+              .agg(F.count("*").alias("n")).collect()}
+    fixture_counts = {r["sink"]: r["n"]
+                      for r in parse.with_header(fixture).groupBy("sink")
+                      .agg(F.count("*").alias("n")).collect()}
+    assert counts == fixture_counts
+
+
+def test_binlog_malformed_files_quarantine(spark, tmp_path):
+    (tmp_path / "good.bin").write_bytes(
+        binsource.MAGIC
+        + bytes(19) .replace(b"", b"")  # placeholder, replaced below
+    )
+    # good file: one minimal STOP event (header only + 4B checksum)
+    import struct
+    ev = (struct.pack("<IBIII", 1000, 0x03, 1, 23, 4)[:17]
+          + struct.pack("<H", 0) + b"\x12\x34\x56\x78")
+    (tmp_path / "good.bin").write_bytes(binsource.MAGIC + ev)
+    (tmp_path / "nomagic.bin").write_bytes(b"not a binlog at all")
+    # truncated: valid first event then a lying event_size
+    (tmp_path / "trunc.bin").write_bytes(
+        binsource.MAGIC + ev
+        + struct.pack("<IBIII", 1000, 0x03, 1, 9999, 4)[:17]
+        + struct.pack("<H", 0))
+    rows = {r.doc_id: r for r in
+            binsource.read_binlog_dir(spark, str(tmp_path)).collect()}
+    assert rows["good/0"].n_tok == 23
+    assert "nomagic/_corrupt" in rows and "trunc/_corrupt" in rows
+    assert rows["trunc/0"].n_tok == 23  # valid prefix kept
+    # corrupt rows land in QUARANTINE via the normal header validation
+    hdr = parse.with_header(
+        binsource.read_binlog_dir(spark, str(tmp_path)))
+    sinks = {r.doc_id: r.sink for r in hdr.select("doc_id", "sink").collect()}
+    assert sinks["good/0"] == "STOP"
+    assert sinks["nomagic/_corrupt"] == "QUARANTINE"
+    assert sinks["trunc/_corrupt"] == "QUARANTINE"
