@@ -57,12 +57,18 @@ def read_binlog_dir(spark: SparkSession, path: str,
     file is preserved by the index so downstream log_pos/transaction
     semantics hold.
     """
-    import pandas as pd
-
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", glob)
              .load(path)
              .select("path", "content"))
+    return split_stream(files)
+
+
+def split_stream(files: DataFrame) -> DataFrame:
+    """(path, content) rows -> contract sequence rows via mapInPandas.
+    Works identically on a batch or streaming DataFrame (the streaming
+    binlog source reuses it)."""
+    import pandas as pd
 
     def split(batches):
         for b in batches:

@@ -99,7 +99,8 @@ def cmd_stream(args) -> None:
     ck = args.checkpoint or str(Path(args.out) / "_stream_checkpoint")
     streaming.run_full_available_now(
         spark, args.input, args.out, ck,
-        max_files_per_trigger=args.max_files_per_trigger)
+        max_files_per_trigger=args.max_files_per_trigger,
+        input_format="binlog" if args.binlog else "parquet")
     sinks = sorted(p.name for p in (Path(args.out) / "sinks").iterdir())
     print(json.dumps({"out": args.out, "checkpoint": ck, "sinks": sinks}))
 
@@ -139,6 +140,8 @@ def main() -> None:
     s.add_argument("out")
     s.add_argument("--checkpoint", default=None)
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--binlog", action="store_true",
+                   help="follow raw .bin binlog files instead of parquet")
     s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("compact", help="rewrite a typed sink at "

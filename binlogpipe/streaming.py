@@ -25,7 +25,23 @@ INPUT_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string")
 
 
 def read_stream(spark: SparkSession, input_dir: str,
-                max_files_per_trigger: int | None = None) -> DataFrame:
+                max_files_per_trigger: int | None = None,
+                input_format: str = "parquet") -> DataFrame:
+    """Streaming source seam: the contract parquet table (primary) or raw
+    `.bin` binlog files split in-stream (binaryFile readStream + the same
+    mapInPandas splitter as the batch binsource) — the closest Spark-native
+    analog of tailing a binlog directory on a replication host."""
+    if input_format == "binlog":
+        from . import binsource
+
+        r = spark.readStream.format("binaryFile") \
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary") \
+            .option("pathGlobFilter", "*.bin")
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        files = r.load(input_dir).select("path", "content")
+        return binsource.split_stream(files)
     r = spark.readStream.schema(INPUT_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -134,7 +150,8 @@ def run_available_now(spark: SparkSession, input_dir: str, out_dir: str,
 
 def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
                            checkpoint_dir: str,
-                           max_files_per_trigger: int | None = None) -> None:
+                           max_files_per_trigger: int | None = None,
+                           input_format: str = "parquet") -> None:
     """Incremental FULL DAG: the streaming twin of job.run_pipeline. Each
     micro-batch routes to the routed table, refreshes the TableMap
     dimension (cumulative latest-wins — a rows event may arrive batches
@@ -246,7 +263,7 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
             dec.write.mode("overwrite").parquet(
                 str(out / "sinks" / sink / f"batch={batch_id}"))
 
-    q = (read_stream(spark, input_dir, max_files_per_trigger)
+    q = (read_stream(spark, input_dir, max_files_per_trigger, input_format)
          .writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)

@@ -59,3 +59,33 @@ def test_binlog_malformed_files_quarantine(spark, tmp_path):
     assert sinks["good/0"] == "STOP"
     assert sinks["nomagic/_corrupt"] == "QUARANTINE"
     assert sinks["trunc/_corrupt"] == "QUARANTINE"
+
+
+def test_binlog_streaming_source(spark, tmp_path):
+    """Raw .bin files through the STREAMING source (binaryFile readStream +
+    the shared splitter): two catch-up drains — the second processes only
+    the file added in between, and rows events decode against the TableMap
+    arriving in the same batch."""
+    import shutil
+
+    from binlogpipe import streaming
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    shutil.copy(REF_EVENTS / "02_query" / "log.bin", ind / "a.bin")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    streaming.run_full_available_now(
+        spark, str(ind), str(out), str(ck), input_format="binlog")
+    n0 = spark.read.parquet(str(out / "routed")).count()
+    shutil.copy(REF_EVENTS / "30_write_rows_v2" / "log.bin", ind / "b.bin")
+    streaming.run_full_available_now(
+        spark, str(ind), str(out), str(ck), input_format="binlog")
+    routed = spark.read.option("basePath", str(out / "routed")) \
+        .parquet(str(out / "routed"))
+    assert routed.count() > n0
+    batches = {r.batch for r in routed.select("batch").distinct().collect()}
+    assert batches == {0, 1}
+    # the WriteRows in batch 1 decoded against its same-batch TableMap
+    wr = spark.read.parquet(str(out / "sinks" / "WRITE_ROWS_V2"))
+    rows = wr.where(F.col("parse_error").isNull()).collect()
+    assert rows and all(r.tm_table_name is not None for r in rows)
