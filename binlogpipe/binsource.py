@@ -48,54 +48,92 @@ def split_binlog_bytes(data: bytes) -> tuple[list[bytes], str | None]:
     return events, None
 
 
+def _glob_root(path: str) -> str:
+    """The literal directory prefix of a possibly-globbed input path —
+    everything up to the first component containing a glob metachar."""
+    parts = path.rstrip("/").split("/")
+    keep = []
+    for c in parts:
+        if any(ch in c for ch in "*?["):
+            break
+        keep.append(c)
+    return "/".join(keep)
+
+
+def _normalize(p: str) -> str:
+    """binaryFile returns file URIs (file:/a or file:///a) — reduce to a
+    plain absolute path for prefix matching."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
 def read_binlog_dir(spark: SparkSession, path: str,
                     glob: str = "*.bin") -> DataFrame:
     """Directory (or glob) of raw binlog files -> contract sequence table.
 
-    `source` is the file stem (matches the fixture-table convention
-    `<dir>/<idx>`), `doc_id` = `<stem>/<event idx>`; event order within a
-    file is preserved by the index so downstream log_pos/transaction
+    `source` is the file's path RELATIVE to the input root, minus the
+    `.bin` extension — so same-named files in different subdirectories
+    (host1/binlog.000042.bin vs host2/binlog.000042.bin, the multi-host
+    replication layout) keep distinct sources and doc_ids. A trailing
+    `/log` component is dropped (the reference fixture layout names every
+    file log.bin under a per-case directory — the directory carries the
+    identity there). `doc_id` = `<source>/<event idx>`; event order within
+    a file is preserved by the index so downstream log_pos/transaction
     semantics hold.
     """
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", glob)
              .load(path)
              .select("path", "content"))
-    return split_stream(files)
+    return split_stream(files, root=_glob_root(path))
 
 
-def split_stream(files: DataFrame) -> DataFrame:
+def split_stream(files: DataFrame, root: str = "") -> DataFrame:
     """(path, content) rows -> contract sequence rows via mapInPandas.
     Works identically on a batch or streaming DataFrame (the streaming
-    binlog source reuses it)."""
+    binlog source reuses it). `root` is the literal input-dir prefix
+    stripped from paths to form the source name."""
     import pandas as pd
 
+    root_n = _normalize(root).rstrip("/")
+
     def split(batches):
+        import numpy as np
+
         for b in batches:
             out = {"doc_id": [], "tokens": [], "n_tok": [], "source": []}
             for p, content in zip(b["path"], b["content"]):
-                parts = p.rsplit("/", 2)
-                stem = parts[-1]
-                stem = stem[:-4] if stem.endswith(".bin") else stem
-                # the reference fixture layout names every file log.bin
-                # under a per-case directory — the directory carries the
-                # identity there; real binlogs (binlog.000042) keep theirs
-                if stem == "log" and len(parts) >= 2:
-                    stem = parts[-2]
+                pn = _normalize(p)
+                rel = (pn[len(root_n):].lstrip("/")
+                       if root_n and pn.startswith(root_n)
+                       else pn.rsplit("/", 1)[-1])
+                stem = rel[:-4] if rel.endswith(".bin") else rel
+                if stem.endswith("/log") or stem == "log":
+                    stem = stem[:-4] if stem.endswith("/log") else stem
                 data = bytes(content)
                 events, err = split_binlog_bytes(data)
                 for i, ev in enumerate(events):
                     out["doc_id"].append(f"{stem}/{i}")
-                    out["tokens"].append(list(ev))
+                    # numpy int32 per event, NOT a Python int list: Arrow
+                    # takes the ndarray zero-copy; a list of boxed ints is
+                    # ~8-10x the bytes and OOMs on a rotated 1 GB file
+                    out["tokens"].append(
+                        np.frombuffer(ev, np.uint8).astype(np.int32))
                     out["n_tok"].append(len(ev))
                     out["source"].append(stem)
                 if err is not None:
                     # quarantine row: the unparseable tail (or whole file),
-                    # capped so one corrupt 1 GB file can't blow a row
-                    consumed = len(MAGIC) + sum(len(e) for e in events)
+                    # capped so one corrupt 1 GB file can't blow a row.
+                    # MAGIC only counts as consumed when it was present.
+                    consumed = ((len(MAGIC) if data.startswith(MAGIC) else 0)
+                                + sum(len(e) for e in events))
                     bad = data[consumed:consumed + 4096]
                     out["doc_id"].append(f"{stem}/_corrupt")
-                    out["tokens"].append(list(bad))
+                    out["tokens"].append(
+                        np.frombuffer(bad, np.uint8).astype(np.int32))
                     out["n_tok"].append(len(bad))
                     out["source"].append(stem)
             yield pd.DataFrame(out)

@@ -101,7 +101,11 @@ def cmd_stream(args) -> None:
         spark, args.input, args.out, ck,
         max_files_per_trigger=args.max_files_per_trigger,
         input_format="binlog" if args.binlog else "parquet")
-    sinks = sorted(p.name for p in (Path(args.out) / "sinks").iterdir())
+    sink_dir = Path(args.out) / "sinks"
+    # a drain with no new files processes zero micro-batches and never
+    # creates out/sinks — that's a valid no-op invocation, not an error
+    sinks = (sorted(p.name for p in sink_dir.iterdir())
+             if sink_dir.exists() else [])
     print(json.dumps({"out": args.out, "checkpoint": ck, "sinks": sinks}))
 
 

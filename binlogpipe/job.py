@@ -330,6 +330,14 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
     import shutil as _sh
 
     src = Path(out_dir) / "sinks" / sink
+    if any(src.glob("batch=*")):
+        # streaming sinks are partitioned by micro-batch id; flattening
+        # them to root-level files would leave a mixed layout the next
+        # stream batch (or replay) corrupts — refuse loudly instead
+        raise ValueError(
+            f"{src} is a streaming sink (batch=<id> layout); compact_sink "
+            f"only supports batch-pipeline sinks — stop the stream and "
+            f"compact into a separate consumer table instead")
     tmp = Path(str(src) + "_compacting")
     old = Path(str(src) + "_old")
     # crash recovery: a leftover swap means a prior compaction died between

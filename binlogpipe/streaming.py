@@ -41,7 +41,8 @@ def read_stream(spark: SparkSession, input_dir: str,
         if max_files_per_trigger:
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         files = r.load(input_dir).select("path", "content")
-        return binsource.split_stream(files)
+        return binsource.split_stream(
+            files, root=binsource._glob_root(input_dir))
     r = spark.readStream.schema(INPUT_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -215,6 +216,14 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
                         "schema_name", "table_name", "column_count",
                         "columns_type", "null_bits"))
         dim_root = out / "table_map_dim"
+        if batch_id == 0:
+            # fresh stream start (new checkpoint): snapshots under this out
+            # dir belong to a PREVIOUS run — without this wipe, a later
+            # batch N would pick the stale max(v<N) as its rebuild base and
+            # silently merge the old run's table layouts into the new dim
+            import shutil as _sh
+            for p in dim_root.glob("v=*"):
+                _sh.rmtree(p, ignore_errors=True)
         prior = [int(p.name[2:]) for p in dim_root.glob("v=*")
                  if p.name[2:].isdigit() and int(p.name[2:]) < batch_id]
         if prior:

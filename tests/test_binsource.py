@@ -32,10 +32,6 @@ def test_binlog_dir_matches_fixture_table(spark, fixture_parquet):
 
 
 def test_binlog_malformed_files_quarantine(spark, tmp_path):
-    (tmp_path / "good.bin").write_bytes(
-        binsource.MAGIC
-        + bytes(19) .replace(b"", b"")  # placeholder, replaced below
-    )
     # good file: one minimal STOP event (header only + 4B checksum)
     import struct
     ev = (struct.pack("<IBIII", 1000, 0x03, 1, 23, 4)[:17]
@@ -89,3 +85,29 @@ def test_binlog_streaming_source(spark, tmp_path):
     wr = spark.read.parquet(str(out / "sinks" / "WRITE_ROWS_V2"))
     rows = wr.where(F.col("parse_error").isNull()).collect()
     assert rows and all(r.tm_table_name is not None for r in rows)
+
+
+def test_quarantine_preserves_full_evidence():
+    """A file failing the magic check must keep ALL its bytes as evidence
+    (the consumed-offset used to count the absent magic and cut 4 bytes)."""
+    events, err = binsource.split_binlog_bytes(b"XYZ")
+    assert events == [] and err == "missing binlog magic"
+    # the module-level arithmetic the splitter row uses:
+    data = b"XYZ"
+    consumed = (len(binsource.MAGIC) if data.startswith(binsource.MAGIC)
+                else 0) + 0
+    assert data[consumed:] == b"XYZ"
+
+
+def test_compact_refuses_streaming_sink_layout(spark, tmp_path):
+    """compact_sink must not flatten a batch=<id> streaming sink — mixed
+    partition layouts break the next read and replays would duplicate."""
+    import pytest
+
+    from binlogpipe import job
+
+    d = tmp_path / "sinks" / "QUERY" / "batch=0"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="streaming sink"):
+        job.compact_sink(spark, str(tmp_path), "QUERY")

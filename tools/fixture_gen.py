@@ -36,19 +36,15 @@ HEADER_LEN = 19
 
 
 def split_binlog(path: Path) -> list[bytes]:
-    """One .bin file -> list of raw event byte strings."""
-    data = path.read_bytes()
-    if not data.startswith(MAGIC):
-        raise ValueError(f"{path}: missing binlog magic")
-    events, off = [], len(MAGIC)
-    while off < len(data):
-        if off + HEADER_LEN > len(data):
-            raise ValueError(f"{path}: trailing garbage at {off}")
-        (event_size,) = struct.unpack_from("<I", data, off + 9)
-        if event_size < HEADER_LEN or off + event_size > len(data):
-            raise ValueError(f"{path}: bad event_size {event_size} at {off}")
-        events.append(data[off:off + event_size])
-        off += event_size
+    """One .bin file -> list of raw event byte strings. Strict wrapper
+    around the runtime splitter (binlogpipe.binsource.split_binlog_bytes —
+    one walk implementation, not two to keep in sync): fixture generation
+    must FAIL on malformed input where the pipeline source quarantines."""
+    from binlogpipe.binsource import split_binlog_bytes
+
+    events, err = split_binlog_bytes(path.read_bytes())
+    if err is not None:
+        raise ValueError(f"{path}: {err}")
     return events
 
 
