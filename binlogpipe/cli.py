@@ -77,7 +77,9 @@ def cmd_trans(args) -> None:
 
 def cmd_desc(args) -> None:
     spark = build_spark(app="binlogpipe-desc")
-    hdr = parse.with_header(spark.read.parquet(args.input))
+    src = job.read_input(spark, args.input,
+                         "binlog" if args.binlog else "parquet")
+    hdr = parse.with_header(src)
     fd_sink = hdr.filter(F.col("sink") == "FORMAT_DESC")
     _, factory = parse.DECODERS["FORMAT_DESC"]
     fd = fd_sink.withColumn("d", factory()(F.col("tokens"))).select(
@@ -135,6 +137,8 @@ def main() -> None:
 
     d = sub.add_parser("desc", help="event counts + first FormatDesc summary")
     d.add_argument("input")
+    d.add_argument("--binlog", action="store_true",
+                   help="input is raw .bin binlog files")
     d.set_defaults(fn=cmd_desc)
 
     s = sub.add_parser("stream", help="drain a growing input dir through "

@@ -111,3 +111,21 @@ def test_compact_refuses_streaming_sink_layout(spark, tmp_path):
     (d / "part-0.parquet").write_bytes(b"")
     with pytest.raises(ValueError, match="streaming sink"):
         job.compact_sink(spark, str(tmp_path), "QUERY")
+
+
+def test_same_named_files_in_different_dirs_stay_distinct(spark, tmp_path):
+    """Multi-host layout: host1/binlog.000042.bin and host2/binlog.000042.bin
+    must keep distinct (source, doc_id) — the per-source transaction state
+    machine and doc_id-keyed consumers depend on it."""
+    import shutil
+
+    for host in ("host1", "host2"):
+        d = tmp_path / host
+        d.mkdir()
+        shutil.copy(REF_EVENTS / "16_xid" / "log.bin",
+                    d / "binlog.000042.bin")
+    rows = binsource.read_binlog_dir(spark, str(tmp_path) + "/*").collect()
+    sources = {r.source for r in rows}
+    assert sources == {"host1/binlog.000042", "host2/binlog.000042"}
+    doc_ids = [r.doc_id for r in rows]
+    assert len(doc_ids) == len(set(doc_ids))
