@@ -700,7 +700,7 @@ def q_multimodal_features(spark, sf_dir):
     from binlogpipe import multimodal
 
     return multimodal.feature_extract(
-        multimodal.synth_media_df(spark, _tbl(spark, sf_dir, "documents")))
+        multimodal.synth_media_df(_tbl(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ from . import enrich, layout, lineage, parse, route
 ROUTED_COLS = [
     "doc_id", "tokens_bin", "n_tok", "source", "timestamp", "event_type",
     "server_id", "event_size", "log_pos", "flags", "checksum", "sink",
-    "salt", "rows_table_id", "input_partition",
+    "salt", "rows_table_id", "input_partition", "input_pos",
 ]
 
 ROWS_SINKS = ("WRITE_ROWS_V2", "UPDATE_ROWS_V2", "DELETE_ROWS_V2")
@@ -168,9 +168,14 @@ def run_pipeline(
             "rows_table_id",
             F.when(F.col("sink").isin(*ROWS_SINKS + ("TABLE_MAP",)),
                    layout.u48le(F.col("tokens"), 19)))
-        # input partition id recorded pre-shuffle: lineage derives from the
-        # routed table afterwards instead of re-scanning the input
+        # input partition id + within-partition position recorded
+        # pre-shuffle: lineage derives from the routed table afterwards
+        # instead of re-scanning the input, and first/last doc_id must be
+        # POSITIONAL (the id is monotonic within a partition; a
+        # lexicographic min/max over "<stem>/<i>" ids misorders the moment
+        # the index crosses a digit-length boundary)
         hdr = hdr.withColumn("input_partition", F.spark_partition_id())
+        hdr = hdr.withColumn("input_pos", F.monotonically_increasing_id())
         obs = lineage.stage_observation("route")
         hdr = lineage.observe_counts(hdr, obs)
         routed_df = route.routed(hdr)

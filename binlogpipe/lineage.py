@@ -56,14 +56,17 @@ def partition_lineage(df: DataFrame) -> DataFrame:
 
 
 def lineage_from_routed(routed_df: DataFrame) -> DataFrame:
-    """Lineage derived from the routed table's recorded `input_partition`
-    column (stamped pre-shuffle) — one JVM aggregation, no second scan of
-    the input. first/last doc_id are the min/max within the partition."""
+    """Lineage derived from the routed table's recorded `input_partition` +
+    `input_pos` columns (stamped pre-shuffle) — one JVM aggregation, no
+    second scan of the input. first/last doc_id are POSITIONAL (min_by/
+    max_by over the monotonic within-partition position): a lexicographic
+    min/max over "<stem>/<i>" string ids returns the wrong rows whenever
+    the event index crosses a digit-length boundary ('s/9' > 's/10')."""
     return (
         routed_df.groupBy(F.col("input_partition").alias("partition_id"))
         .agg(
-            F.min("doc_id").alias("first_doc_id"),
-            F.max("doc_id").alias("last_doc_id"),
+            F.min_by("doc_id", "input_pos").alias("first_doc_id"),
+            F.max_by("doc_id", "input_pos").alias("last_doc_id"),
             F.count("*").alias("rows_in"),
             F.sum((F.col("sink") != "QUARANTINE").cast("long")).alias(
                 "rows_routed"),

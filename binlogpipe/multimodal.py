@@ -16,7 +16,9 @@ Codecs are stdlib/numpy-pure (no PIL/libav in this container, none needed):
 Feature math is integer-exact on both engines: decode yields integer
 pixels/samples, stats come from BIGINT sum and sum-of-squares with the SAME
 two floating divisions on each side, so the DuckDB oracle reproduces
-feat_mean/feat_std bit-for-bit (rounded to 6 dp for safety). The content
+feat_mean/feat_std bit-for-bit — deliberately NO rounding (see _stats:
+Python rounds half-even, DuckDB half-away, so rounding would reintroduce
+divergence). The content
 digest is sha256 over the DECODED integer csv — content-level identity that
 survives container/codec differences, which is the dedup semantics a
 training pipeline actually wants.
@@ -31,7 +33,7 @@ import wave
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,7 +84,13 @@ def encode_bmp(pixels: bytes, w: int, h: int) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> tuple[bytes, int, int]:
-    """Parse the 54-byte header, return (pixel bytes bottom-up, w, h)."""
+    """Parse the 54-byte header, return (pixel bytes bottom-up, w, |h|).
+
+    Handles the two spec cases our encoder never emits but real BMPs do:
+    per-row padding when the stride isn't 4-aligned (padding bytes are
+    stripped, not counted as pixels), and top-down storage (negative
+    biHeight — rows are reversed so the returned bytes are ALWAYS in
+    bottom-up convention, which decode_real then un-reverses)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = struct.unpack_from("<I", payload, 10)[0]
@@ -90,7 +98,13 @@ def decode_bmp(payload: bytes) -> tuple[bytes, int, int]:
     bpp = struct.unpack_from("<H", payload, 28)[0]
     if bpp != 24:
         raise ValueError(f"unsupported bpp {bpp}")
-    return payload[off:off + abs(h) * w * 3], w, abs(h)
+    habs = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [payload[off + y * stride:off + y * stride + w * 3]
+            for y in range(habs)]
+    if h < 0:  # top-down storage -> normalize to bottom-up
+        rows.reverse()
+    return b"".join(rows), w, habs
 
 
 def encode_wav(samples: list[int], rate: int = AUDIO_RATE) -> bytes:
@@ -137,10 +151,11 @@ def sample_frames(frames: list[bytes], k: int) -> list[bytes]:
     return [frames[(i * n) // k] for i in range(k)]
 
 
-def decode_real(payload: bytes, kind: str) -> tuple[list[int], int]:
+def decode_real(payload: bytes, kind: str,
+                frames_per_video: int = FRAMES_SAMPLED) -> tuple[list[int], int]:
     """Decode a payload to (integer content values, n_frames_sampled).
-    image -> pixel bytes; audio -> PCM16 samples; video -> bytes of the
-    FRAMES_SAMPLED evenly-sampled frames."""
+    image -> pixel bytes; audio -> PCM16 samples; video -> bytes of
+    `frames_per_video` evenly-sampled frames."""
     payload = bytes(payload)
     if kind == "image":
         px, w, h = decode_bmp(payload)
@@ -154,7 +169,7 @@ def decode_real(payload: bytes, kind: str) -> tuple[list[int], int]:
         return decode_wav(payload), 1
     if kind == "video":
         frames, _, _ = decode_bvid(payload)
-        picked = sample_frames(frames, FRAMES_SAMPLED)
+        picked = sample_frames(frames, frames_per_video)
         return [b for f in picked for b in f], len(picked)
     raise ValueError(f"unknown media kind {kind!r}")
 
@@ -186,7 +201,7 @@ def synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
     return kind, encode_bvid(frames, VID_W, VID_H)
 
 
-def synth_media_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def synth_media_df(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic media table with REAL encoded payloads
     (BMP/WAV/BVID), derived from the documents table — stands in for an
     object-store table of encoded blobs."""
@@ -245,7 +260,8 @@ def feature_extract(media: DataFrame,
             cols: dict[str, list] = {f.name: [] for f in FEATURE_SCHEMA.fields}
             for r in b.itertuples(index=False):
                 payload = bytes(r.payload)
-                ints, n_sampled = decode_real(payload, r.kind)
+                ints, n_sampled = decode_real(payload, r.kind,
+                                              frames_per_video)
                 mean, std = _stats(ints)
                 csv = ",".join(map(str, ints))
                 cols["media_id"].append(r.media_id)
@@ -280,7 +296,15 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                     heights.append(r.meta_height)
                     continue
                 px, w, h = decode_bmp(bytes(r.payload))
+                if w < 4:
+                    raise ValueError(
+                        f"media_id={r.media_id}: source width {w} < 4 — "
+                        f"cannot produce a 4-aligned-stride BMP")
                 nw, nh = max(1, w // factor), max(1, h // factor)
+                # the encoder needs nw*3 % 4 == 0, i.e. nw a multiple of 4
+                # (gcd(3,4)=1): align the target width DOWN so every factor
+                # is valid instead of crashing the stage on e.g. factor=3
+                nw = max(4, nw - nw % 4)
                 rows = []
                 for y in range(nh):
                     sy = min(h - 1, y * factor)
@@ -290,9 +314,6 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                         o = (sy * w + sx) * 3
                         row += px[o:o + 3]
                     rows.append(bytes(row))
-                # pad each row's stride to 4 bytes by widening to the next
-                # 4-aligned pixel count is avoided: keep nw*3 4-aligned by
-                # construction (IMG_W=16, factor 2 -> 8*3=24, aligned)
                 payloads.append(encode_bmp(b"".join(rows), nw, nh))
                 widths.append(nw)
                 heights.append(nh)

@@ -197,6 +197,7 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
             F.when(F.col("sink").isin(*ROWS_SINKS + ("TABLE_MAP",)),
                    layout.u48le(F.col("tokens"), 19)))
         hdr = hdr.withColumn("input_partition", F.spark_partition_id())
+        hdr = hdr.withColumn("input_pos", F.monotonically_increasing_id())
         hdr = hdr.withColumn("salt", route.salt_expr())
         routed_batch = str(out / "routed" / f"batch={batch_id}")
         (hdr.select(*ROUTED_COLS).write.mode("overwrite")

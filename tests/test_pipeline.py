@@ -233,3 +233,28 @@ def test_decode_error_flagged_not_fatal(spark):
     out = df.withColumn("d", factory()(F.col("tokens"))).select("d.*").collect()
     # decode either errors cleanly or returns garbage fields — never raises
     assert len(out) == 1
+
+
+def test_lineage_first_last_are_positional(spark, fixture_parquet,
+                                           pipeline_out):
+    """first/last doc_id must be the POSITIONAL first/last row of each
+    input partition — cross-checked against the mapInPandas reference
+    implementation (partition_lineage), which walks rows in order. The
+    fixture has >=10 events per source, so a lexicographic min/max would
+    disagree ('s/9' > 's/10')."""
+    from binlogpipe import lineage, parse
+
+    hdr = parse.with_header(spark.read.parquet(fixture_parquet))
+    ref = {r.partition_id: (r.first_doc_id, r.last_doc_id, r.rows_in,
+                            r.rows_routed)
+           for r in lineage.partition_lineage(hdr).collect()
+           if r.rows_in}
+    routed = spark.read.parquet(f"{pipeline_out['out']}/routed")
+    got = {r.partition_id: (r.first_doc_id, r.last_doc_id, r.rows_in,
+                            r.rows_routed)
+           for r in lineage.lineage_from_routed(routed).collect()}
+    assert got == ref
+    # regression pin: the digit-length boundary actually occurs
+    assert any("/" in f and f.rsplit("/", 1)[1].isdigit()
+               and int(l.rsplit("/", 1)[1]) >= 10
+               for f, l, *_ in got.values())

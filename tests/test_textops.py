@@ -167,7 +167,7 @@ def test_multimodal_plumbing(spark, tmp_path):
         [(i, f"payload number {i} with some bytes", "src", 30 + i)
          for i in range(7)],
         "doc_id long, text string, source string, n_chars long")
-    media = multimodal.synth_media_df(spark, docs)
+    media = multimodal.synth_media_df(docs)
     feats = multimodal.feature_extract(media)
     rows = feats.collect()
     assert len(rows) == 7
@@ -218,8 +218,53 @@ def test_multimodal_resize(spark):
     docs = spark.createDataFrame(
         [(0, "resize me please with enough text", "src", 30)],
         "doc_id long, text string, source string, n_chars long")
-    media = multimodal.synth_media_df(spark, docs)  # doc 0 -> image
+    media = multimodal.synth_media_df(docs)  # doc 0 -> image
     small = multimodal.resize_images(media, factor=2).collect()[0]
     assert small["meta_width"] == 8 and small["meta_height"] == 4
     px, w, h = multimodal.decode_bmp(bytes(small["payload"]))
     assert (w, h) == (8, 4) and len(px) == 8 * 4 * 3
+
+
+def test_multimodal_review_fixes(spark):
+    """Round-3 review pins: frames_per_video is honored; resize aligns the
+    target width down instead of crashing on non-4-aligned strides;
+    decode_bmp normalizes top-down (negative-height) BMPs and strips row
+    padding."""
+    import struct
+
+    docs = spark.createDataFrame(
+        [(2, "video doc with enough text", "src", 26),
+         (0, "image doc with enough text", "src", 26)],
+        "doc_id long, text string, source string, n_chars long")
+    media = multimodal.synth_media_df(docs)
+    feats = {r["kind"]: r
+             for r in multimodal.feature_extract(
+                 media, frames_per_video=2).collect()}
+    assert feats["video"]["n_frames_sampled"] == 2
+
+    small = {r["media_id"]: r
+             for r in multimodal.resize_images(media, factor=3).collect()}
+    assert small[0]["meta_width"] == 4  # 16//3=5, aligned down to 4
+    px, w, h = multimodal.decode_bmp(bytes(small[0]["payload"]))
+    assert (w, h) == (4, 2)
+
+    # top-down BMP (negative height): decode must normalize to bottom-up
+    pxs = bytes(range(4 * 2 * 3))  # 4x2, stride 12 (4-aligned)
+    bottom_up = multimodal.encode_bmp(pxs, 4, 2)
+    # build the same image stored top-down: rows in visual order, h = -2
+    hdr = bottom_up[:54]
+    top_down = (hdr[:22] + struct.pack("<i", -2) + hdr[26:] + pxs)
+    a, w1, h1 = multimodal.decode_bmp(bottom_up)
+    b, w2, h2 = multimodal.decode_bmp(top_down)
+    assert (w1, h1) == (w2, h2) == (4, 2)
+    assert a == b  # same visual image -> same normalized bytes
+
+    # padded stride: 5px-wide rows (stride 16, 1 pad byte per row)
+    rows = [bytes(range(15)), bytes(range(100, 115))]
+    payload = (b"BM" + struct.pack("<IHHI", 54 + 32, 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, 5, 2, 1, 24, 0, 32,
+                             2835, 2835, 0, 0)
+               + rows[0] + b"\xff" + rows[1] + b"\xff")
+    px3, w3, h3 = multimodal.decode_bmp(payload)
+    assert (w3, h3) == (5, 2)
+    assert px3 == rows[0] + rows[1]  # padding stripped, not counted
