@@ -1179,7 +1179,8 @@ GROUP BY doc_id ORDER BY doc_id
         f"WITH s AS (SELECT doc_id, {shingle} AS sh FROM documents), "
         f"inv AS (SELECT doc_id, unnest(sh) AS h FROM s), "
         f"rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= "
-        f"least((SELECT floor(0.2 * count(*))::BIGINT FROM documents), 64)), "
+        f"least(greatest((SELECT floor(0.2 * count(*))::BIGINT "
+        f"FROM documents), 2), 64)), "
         f"inv_r AS (SELECT doc_id, inv.h FROM inv JOIN rare ON inv.h = rare.h), "
         f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         f"FROM inv_r a JOIN inv_r b ON a.h = b.h AND a.doc_id < b.doc_id) "

@@ -54,13 +54,6 @@ KIND_NAMES: dict[int, str] = {
     T_GEOMETRY: "Geometry",
 }
 
-# metadata byte-width per type (mysql.rs:48-81 `meta()` second tuple slot)
-META_WIDTH: dict[int, int] = {
-    T_FLOAT: 1, T_DOUBLE: 1, T_VARCHAR: 2, T_BIT: 2, T_TIMESTAMP2: 1,
-    T_DATETIME2: 1, T_TIME2: 1, T_NEWDECIMAL: 2, T_BLOB: 1, T_VARSTRING: 2,
-    T_STRING: 2, T_GEOMETRY: 1,
-}
-
 # dig2bytes table, copied by the reference from mysql-server
 # (mysql.rs:216-229)
 _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
@@ -109,7 +102,17 @@ def decode_cell(buf: bytes, off: int, type_id: int, meta: list[int]):
     """
     t = type_id
 
+    def need(at: int, n: int) -> None:
+        # the reference's nom take(n) FAILS the row when a declared length
+        # overruns the buffer; Python slicing would silently truncate and
+        # emit a clean-looking row with wrong bytes and a null parse_error
+        if at + n > len(buf):
+            raise ValueError(
+                f"cell type {t} overruns row image: need {n} bytes at "
+                f"{at}, have {len(buf)}")
+
     def raw(n: int, kind: str):
+        need(off, n)
         return (kind, list(buf[off:off + n]), None), off + n
 
     if t == T_DECIMAL:
@@ -137,6 +140,7 @@ def decode_cell(buf: bytes, off: int, type_id: int, meta: list[int]):
         # packed temporal: 1-byte length + payload, length byte kept in the
         # value (parse_packed, mysql.rs:270-276)
         n = buf[off]
+        need(off, 1 + n)
         return (KIND_NAMES[t], list(buf[off:off + 1 + n]), None), off + 1 + n
     if t == T_YEAR:
         return raw(2, "Year")
@@ -146,9 +150,11 @@ def decode_cell(buf: bytes, off: int, type_id: int, meta: list[int]):
         max_len = meta[0] if meta else 0
         # 2-byte length prefix iff declared max_len > 255 (mysql.rs:190-202)
         if max_len > 255:
+            need(off, 2)
             ln, o = c.u16(buf, off)
         else:
             ln, o = buf[off], off + 1
+        need(o, ln)
         return ("VarChar", list(buf[o:o + ln]), None), o + ln
     if t == T_BIT:
         b1, b2 = (meta + [0, 0])[:2]
@@ -165,17 +171,21 @@ def decode_cell(buf: bytes, off: int, type_id: int, meta: list[int]):
         return (KIND_NAMES[t], None, None), off
     if t == T_BLOB:
         len_bytes = meta[0] if meta else 1
+        need(off, len_bytes)
         ln = int.from_bytes(buf[off:off + len_bytes], "little")
         o = off + len_bytes
+        need(o, ln)
         return ("Blob", list(buf[o:o + ln]), None), o + ln
     if t == T_VARSTRING:
         # quirk: consumed length omits the 1-byte prefix (module docstring)
         ln, o = buf[off], off + 1
+        need(o, ln)
         return ("VarString", list(buf[o:o + ln]), None), off + ln
     if t == T_STRING:
         # quirks: String cells are emitted as VarChar (mysql.rs:255-261);
         # consumed length omits the 1-byte prefix (module docstring)
         ln, o = buf[off], off + 1
+        need(o, ln)
         return ("VarChar", list(buf[o:o + ln]), None), off + ln
     if t == T_GEOMETRY:
         n = meta[0] if meta else 1

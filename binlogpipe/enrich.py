@@ -10,8 +10,9 @@ parser and read by the rows parsers
 Semantic note (SURVEY §7.3 hard #2): the reference resolves each rows event
 against the *latest preceding* TableMap in file order. Every fixture has at
 most one TableMap per table_id per source, so a plain broadcast join is
-exact; the builder asserts that uniqueness and falls back to the
-latest-by-log_pos entry per (source, table_id) if it is ever violated.
+exact; when that is violated the builder keeps the latest-by-log_pos entry
+per (source, table_id), with payload-field tie-breaks so the winner is
+deterministic across runs even on exact log_pos collisions.
 """
 
 from __future__ import annotations
@@ -25,9 +26,13 @@ def build_table_map_dim(table_map_decoded: DataFrame) -> DataFrame:
 
     Input must carry: source, log_pos, table_id, schema_name, table_name,
     column_count, columns_type, null_bits.
-    Output: one row per (source, table_id), latest by log_pos.
+    Output: one row per (source, table_id), latest by log_pos; ties broken
+    on payload fields so row_number's winner is deterministic (duplicated
+    ingests of the same event tie on IDENTICAL rows, which is harmless).
     """
-    w = Window.partitionBy("source", "table_id").orderBy(F.col("log_pos").desc())
+    w = Window.partitionBy("source", "table_id").orderBy(
+        F.col("log_pos").desc(), F.col("schema_name"), F.col("table_name"),
+        F.col("column_count"))
     return (
         table_map_decoded
         .select("source", "log_pos", "table_id", "schema_name", "table_name",

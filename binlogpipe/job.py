@@ -181,11 +181,28 @@ def run_pipeline(
         routed_df = route.routed(hdr)
         write_output(routed_df.select(*ROUTED_COLS), sink_format,
                      routed_path, f"{iceberg_prefix}.routed", ("sink",))
-        stage_metrics = {k: (int(v) if v is not None else None)
-                         for k, v in obs.get.items()}
+        try:
+            stage_metrics = {k: (int(v) if v is not None else None)
+                             for k, v in obs.get.items()}
+        except Exception:  # noqa: BLE001 — Observation.get asserts on a
+            # zero-row observed action (Spark 4); empty input is valid
+            stage_metrics = {"rows": 0, "tokens": 0}
         stage_metrics["wall_sec"] = round(time.time() - t0, 3)
         metrics["stages"]["route"] = stage_metrics
         ck.mark("route", **stage_metrics)
+    # empty input: a partitionBy write of zero rows leaves only _SUCCESS
+    # (schema inference on the read would throw) and there are no sinks to
+    # decode — complete gracefully with zero-row metrics instead of dying
+    route_rows = ck.state["stages"].get("route", {}).get("rows")
+    if route_rows == 0:
+        metrics["wall_sec"] = round(time.time() - t_start, 3)
+        metrics["rows"] = 0
+        metrics["rows_per_sec"] = 0.0
+        metrics["empty_input"] = True
+        if collect_metrics:
+            (out / "metrics.json").write_text(json.dumps(metrics, indent=1))
+        return metrics
+
     routed_df = (spark.table(f"{iceberg_prefix}.routed")
                  if sink_format == "iceberg"
                  else spark.read.parquet(routed_path))
@@ -294,7 +311,7 @@ def run_pipeline(
         # thrashes Python workers (17s in the round-1 measurement)
         hot = [s for s in layout.SALT_FACTORS if s in present]
         cold = [s for s in sorted(present) if s not in layout.SALT_FACTORS]
-        with ThreadPoolExecutor(max_workers=min(6, len(present))) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, min(6, len(present)))) as pool:
             list(pool.map(decode_one, hot + cold))
         metrics["stages"]["decode"] = {
             "wall_sec": round(time.time() - t0, 3), "sinks": len(present)}

@@ -61,9 +61,6 @@ SINK_TO_TYPE = {v: k for k, v in EVENT_TYPES.items()}
 # (`unreachable!()`, mod.rs:405); we quarantine instead of panicking.
 QUARANTINE_SINK = "QUARANTINE"
 
-# Event types whose whole payload is just the trailing checksum.
-HEADER_ONLY_TYPES = ("STOP", "SLAVE", "HEARTBEAT", "UNKNOWN")
-
 # Hot-type salt factors (BASELINE.md skew: QUERY 38/166, GTID 32/166) used
 # by the router's salted repartition. Factors are per 1M rows of a sink at
 # scale; tuned so one hot event type never serializes into one task.
@@ -106,15 +103,6 @@ def u32le(col: Column, off: int) -> Column:
 
 def u48le(col: Column, off: int) -> Column:
     return u32le(col, off) + _b(col, off + 4) * (1 << 32) + _b(col, off + 5) * (1 << 40)
-
-
-def u64le(col: Column, off: int) -> Column:
-    # Returned as (possibly negative) signed long, matching two's-complement
-    # wraparound; fixture values never exceed i64 so this is exact.
-    out = _b(col, off)
-    for k in range(1, 8):
-        out = out + _b(col, off + k) * F.lit(1 << (8 * k)).cast("long")
-    return out
 
 
 def header_columns(tokens: Column) -> dict[str, Column]:

@@ -49,8 +49,12 @@ def with_header(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     # equal the token count; magic-prefixed rows are file headers that the
     # splitter should have stripped; event type must be known.
     magic = layout.MAGIC
+    # guard on the ACTUAL array size, not the n_tok data column: a row
+    # whose n_tok disagrees with its tokens array (inconsistent contract
+    # columns) must quarantine, not throw INVALID_ARRAY_INDEX under
+    # Spark 4's default ANSI mode and kill the whole route stage
     is_magic = (
-        (F.col("n_tok") >= 4)
+        (F.size(tokens) >= 4)
         & (F.element_at(tokens, 1) == magic[0])
         & (F.element_at(tokens, 2) == magic[1])
         & (F.element_at(tokens, 3) == magic[2])

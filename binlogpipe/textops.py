@@ -262,10 +262,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     FRACTIONAL cap alone is a scale trap: at 100 TB a shingle at df =
     0.2n still fans out O((0.2n)^2) candidate pairs; the ABSOLUTE cap
     bounds per-shingle join fanout to max_df_abs^2 regardless of corpus
-    size (same reasoning as the LSH band-bucket cap). Jaccard on surviving
-    candidates is then EXACT over the *full* shingle sets
-    (array_intersect/union), so the caps only bound recall, never
-    precision. The oracle applies the identical caps."""
+    size (same reasoning as the LSH band-bucket cap). The cap is floored
+    at 2: below 10 documents the fractional cap would floor to <2 and no
+    shingle could ever be shared by a pair — small corpora silently
+    returned zero near-dups. Jaccard on surviving candidates is then
+    EXACT over the *full* shingle sets (array_intersect/union), so the
+    caps only bound recall, never precision. The oracle applies the
+    identical caps."""
     sh = shingle_sets(docs)
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     # the df cap must not trigger a driver-side count() (a full extra scan
@@ -274,7 +277,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     rare = (inv.groupBy("sh").agg(F.count("*").alias("df"))
             .crossJoin(n_docs)
             .where(F.col("df") <= F.least(
-                F.floor(F.col("_n_docs") * F.lit(max_df)),
+                F.greatest(F.floor(F.col("_n_docs") * F.lit(max_df)),
+                           F.lit(2)),
                 F.lit(max_df_abs)))
             .select("sh"))
     inv_r = inv.join(rare, "sh")
@@ -299,9 +303,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash over word-token rolling hashes: bit_j = sign of
-    sum(+1/-1 per token according to bit j of the token hash)."""
+def simhash(docs: DataFrame, bits: int = 30) -> DataFrame:
+    """SimHash over word-token rolling hashes: bit_j = sign of
+    sum(+1/-1 per token according to bit j of the token hash).
+
+    30 bits, not 32: token hashes are mod FP_MOD < 2^30, so bits 30-31 of
+    a 32-bit signature would be structurally zero (every token votes -1) —
+    identical output values, two wasted bit positions. Widening further
+    requires a hash modulus above 2^bits on BOTH engines."""
     tok_hash = (
         r"transform(split(trim(text), '\\s+'), w -> "
         f"aggregate(transform(split(w, ''), ch -> ascii(ch)), 0L, "

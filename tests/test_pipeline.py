@@ -258,3 +258,20 @@ def test_lineage_first_last_are_positional(spark, fixture_parquet,
     assert any("/" in f and f.rsplit("/", 1)[1].isdigit()
                and int(l.rsplit("/", 1)[1]) >= 10
                for f, l, *_ in got.values())
+
+
+def test_pipeline_empty_input_completes(spark, tmp_path):
+    """Zero input rows must complete with zero-row metrics, not die on
+    schema inference over an empty routed dir or a zero-width thread
+    pool."""
+    from binlogpipe import job
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    inp = tmp_path / "empty_in"
+    empty.write.parquet(str(inp))
+    m = job.run_pipeline(spark, str(inp), str(tmp_path / "out"), run_id="e")
+    assert m["rows"] == 0 and m.get("empty_input") is True
+    # resume path: a second invocation is also graceful
+    m2 = job.run_pipeline(spark, str(inp), str(tmp_path / "out"), run_id="e")
+    assert m2["rows"] == 0

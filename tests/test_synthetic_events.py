@@ -243,3 +243,26 @@ def test_rows_extra_data_formats():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         parse.decode_rows_py(rows_event([(0x42, b"x")], 1), defs, 1)
+
+
+def test_decode_cell_overrun_raises():
+    """A declared cell length overrunning the row image must FAIL the row
+    (reference nom take() semantics) — silent truncation would put wrong
+    bytes in typed sinks with a null parse_error."""
+    import pytest
+
+    # Long needs 4 bytes, only 3 present
+    with pytest.raises(ValueError, match="overruns"):
+        decode_cell(b"\x01\x02\x03", 0, 3, [])
+    # VarChar length byte says 5, only 2 payload bytes present
+    with pytest.raises(ValueError, match="overruns"):
+        decode_cell(b"\x05ab", 0, 15, [160])
+    # Blob 2-byte length prefix at the buffer edge
+    with pytest.raises(ValueError, match="overruns"):
+        decode_cell(b"\x10", 0, 252, [2])
+    # and a whole corrupt rows event quarantines instead of emitting rows
+    p = struct.pack("<IH", 0x0505, 0)[:6] + struct.pack("<H", 1)
+    p += struct.pack("<H", 2) + bytes([1, 0x01, 0x00]) + b"\x01\x02\x03"
+    ev = make_event(0x1E, p)
+    with pytest.raises(ValueError):
+        parse.decode_rows_py(ev, [(3, [])], 1)

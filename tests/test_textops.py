@@ -44,6 +44,15 @@ def test_ngram_jaccard_pairs(crafted_docs):
     assert all(3 not in k for k in pairs)
 
 
+def test_ngram_jaccard_small_corpus_df_floor(crafted_docs):
+    """The df cap is floored at 2: on a 4-doc corpus with the default
+    max_df=0.2, floor(0.8)=0 would otherwise drop every shared shingle and
+    a pair of byte-identical documents could never be found."""
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in textops.ngram_jaccard_pairs(crafted_docs, 0.6).collect()}
+    assert (0, 1) in pairs
+
+
 def test_simhash_near_for_near_dups(crafted_docs):
     sims = {r["doc_id"]: r["simhash"] for r in textops.simhash(crafted_docs).collect()}
     assert sims[0] == sims[1]
