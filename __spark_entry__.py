@@ -42,10 +42,19 @@ RFX = f"read_parquet('{RARE}')"
 
 
 def _u(off0: int, nbytes: int) -> str:
-    """u{8*nbytes}le at 0-based byte offset as BIGINT (DuckDB)."""
+    """u{8*nbytes}le at 0-based byte offset as BIGINT (DuckDB).
+
+    8-byte reads wrap two's-complement like the Spark side (np_codec.u64 /
+    _FlatBatch.u): the naive unsigned sum would overflow DuckDB's BIGINT
+    (hard error) for any value with the top bit set, so the top byte is
+    read signed ((b+128)%256-128 maps 128..255 to -128..-1)."""
+    top = nbytes - 1
     terms = [
         f"tokens[{off0 + k + 1}]::BIGINT * {1 << (8 * k)}" for k in range(nbytes)
     ]
+    if nbytes == 8:
+        terms[top] = (f"((tokens[{off0 + top + 1}]::BIGINT + 128) % 256 - 128)"
+                      f" * {1 << (8 * top)}")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -66,12 +75,24 @@ def _extract_string_sql(a_expr: str, b_expr: str) -> str:
     )
 
 
+# mirror of the Spark router's validity gate (valid_size AND NOT magic),
+# appended to every per-sink oracle WHERE: a corrupt row the pipeline
+# quarantines must not leak into a typed-sink oracle via its type byte
+_VALID = ("coalesce(n_tok::BIGINT = " + _u(9, 4) + ", FALSE) "
+          "AND NOT coalesce(tokens[1]=254 AND tokens[2]=98 "
+          "AND tokens[3]=105 AND tokens[4]=110, FALSE)")
+
+
 def _sink_case_sql() -> str:
     whens = "".join(
         f" WHEN {tid} THEN '{name}'" for tid, name in layout.EVENT_TYPES.items()
     )
     return (
-        f"(CASE WHEN n_tok::BIGINT != {_u(9, 4)} THEN 'QUARANTINE' "
+        # NULL-safe like Spark's coalesce(valid_size, False): a row too
+        # short to even carry an event_size field must compare as INVALID,
+        # not fall through a NULL predicate into a typed sink
+        f"(CASE WHEN NOT coalesce(n_tok::BIGINT = {_u(9, 4)}, FALSE) "
+        f"THEN 'QUARANTINE' "
         f"WHEN tokens[1]=254 AND tokens[2]=98 AND tokens[3]=105 AND tokens[4]=110 "
         f"THEN 'QUARANTINE' "
         f"ELSE (CASE tokens[5]{whens} ELSE 'QUARANTINE' END) END)"
@@ -804,25 +825,25 @@ def oracle_sql() -> dict[str, str]:
 
     out["bl_xid"] = (
         f"SELECT doc_id, {_u(19, 8)} AS xid FROM {FX} "
-        f"WHERE tokens[5] = 16 ORDER BY doc_id"
+        f"WHERE {_VALID} AND tokens[5] = 16 ORDER BY doc_id"
     )
 
     out["bl_rotate"] = (
         f"SELECT doc_id, {_u(19, 8)} AS position, "
         f"{_chrcat('28', 'n_tok - 4')} AS next_binlog FROM {FX} "
-        f"WHERE tokens[5] = 4 ORDER BY doc_id"
+        f"WHERE {_VALID} AND tokens[5] = 4 ORDER BY doc_id"
     )
 
     out["bl_intvar"] = (
         f"SELECT doc_id, CASE tokens[20] WHEN 0 THEN 'InvalidIntEvent' "
         f"WHEN 1 THEN 'LastInsertIdEvent' WHEN 2 THEN 'InsertIdEvent' END "
         f"AS e_type, {_u(20, 8)} AS value FROM {FX} "
-        f"WHERE tokens[5] = 5 ORDER BY doc_id"
+        f"WHERE {_VALID} AND tokens[5] = 5 ORDER BY doc_id"
     )
 
     out["bl_rand"] = (
         f"SELECT doc_id, {_u(19, 8)} AS seed1, {_u(27, 8)} AS seed2 "
-        f"FROM {FX} WHERE tokens[5] = 13 ORDER BY doc_id"
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 13 ORDER BY doc_id"
     )
 
     dec_concat = ("array_to_string(list_transform(tokens[{a}:{b}], "
@@ -835,14 +856,14 @@ def oracle_sql() -> dict[str, str]:
         f"{src_id} AS source_id, {dec_concat.format(a=37, b=44)} AS "
         f"transaction_id, tokens[45]::BIGINT AS ts_type, "
         f"{_u(45, 8)} AS last_committed, {_u(53, 8)} AS sequence_number "
-        f"FROM {FX} WHERE tokens[5] IN (33, 34) ORDER BY doc_id"
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] IN (33, 34) ORDER BY doc_id"
     )
 
     rq_text = _chrcat("21", "20 + tokens[20]")
     out["bl_rows_query"] = (
         f"SELECT doc_id, tokens[20]::BIGINT AS length, {rq_text} AS query_text, "
         f"{_stmt_kind_sql(rq_text)} AS statement_kind FROM {FX} "
-        f"WHERE tokens[5] = 29 ORDER BY doc_id"
+        f"WHERE {_VALID} AND tokens[5] = 29 ORDER BY doc_id"
     )
 
     # Query: svl = u16 @ offset 30 (0-based 11+19); schema at 19+13+svl
@@ -857,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
         f"{_u(28, 2)} AS error_code, {svl} AS status_vars_length, "
         f"{_chrcat(schema_start, f'{schema_start} + {schema_len} - 1')} AS "
         f"schema_name, {q_text} AS query, {_stmt_kind_sql(q_text)} AS "
-        f"statement_kind FROM {FX} WHERE tokens[5] = 2 ORDER BY doc_id"
+        f"statement_kind FROM {FX} WHERE {_VALID} AND tokens[5] = 2 ORDER BY doc_id"
     )
 
     # status-vars block: a variable-width key/value walk (query.rs:75-177)
@@ -876,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
                          f"tokens[vpos+{k + 1}]::BIGINT * 256)")  # noqa: E731
     out["bl_status_vars"] = f"""
 WITH RECURSIVE q AS (
-  SELECT doc_id, tokens, {_u(30, 2)} AS svl FROM {FX} WHERE tokens[5] = 2
+  SELECT doc_id, tokens, {_u(30, 2)} AS svl FROM {FX} WHERE {_VALID} AND tokens[5] = 2
 ),
 walk AS (
   SELECT doc_id, tokens, 33::BIGINT AS pos, (33 + svl)::BIGINT AS end_pos,
@@ -934,7 +955,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"{_extract_string_sql('22', '71')} AS mysql_server_version, "
         f"{_u(71, 4)} AS create_timestamp, tokens[76]::BIGINT AS "
         f"event_header_length, tokens[n_tok - 4]::BIGINT AS checksum_alg "
-        f"FROM {FX} WHERE tokens[5] = 15 ORDER BY doc_id"
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 15 ORDER BY doc_id"
     )
 
     # UserVar: name_len u32 @19; conditional tail
@@ -954,7 +975,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"tokens[(34 + {nl})::INT : (33 + {nl} + tokens[30 + {nl}]::BIGINT + "
         f"tokens[31 + {nl}]::BIGINT*256 + tokens[32 + {nl}]::BIGINT*65536 + "
         f"tokens[33 + {nl}]::BIGINT*16777216)::INT], ',') END AS value_csv "
-        f"FROM {FX} WHERE tokens[5] = 14 ORDER BY doc_id"
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 14 ORDER BY doc_id"
     )
 
     # TableMap (fixtures: lenenc column_count < 0xfb -> 1 byte; null_bits
@@ -971,7 +992,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"{cc} AS column_count, "
         f"array_to_string(tokens[(n_tok - 4 - ((({cc}) + 7) // 8) + 1)::INT : "
         f"(n_tok - 4)::INT], ',') AS null_bits_csv "
-        f"FROM {FX} WHERE tokens[5] = 19 ORDER BY doc_id"
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 19 ORDER BY doc_id"
     )
 
     out["bl_source_type_stats"] = (
@@ -987,7 +1008,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"{_extract_string_sql('22', '71')} AS mysql_server_version, "
         f"{_u(71, 4)} AS create_timestamp, "
         f"row_number() OVER (PARTITION BY source ORDER BY {_u(13, 4)}) AS rn "
-        f"FROM {FX} WHERE tokens[5] = 15) "
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 15) "
         f"SELECT t.source, t.n_events, fd.binlog_version, "
         f"fd.mysql_server_version, fd.create_timestamp FROM t "
         f"LEFT JOIN fd ON t.source = fd.source AND fd.rn = 1 ORDER BY t.source"
@@ -1339,7 +1360,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"WITH tm AS (SELECT source, {_u(13, 4)} AS log_pos, "
         f"{_u(19, 6)} AS table_id, {_chrcat('29', f'28 + {sl}')} AS "
         f"schema_name, {_chrcat(f'{tno} + 1', f'{tno} + {tnl}')} AS table_name, "
-        f"{cc} AS column_count FROM {FX} WHERE tokens[5] = 19), "
+        f"{cc} AS column_count FROM {FX} WHERE {_VALID} AND tokens[5] = 19), "
         f"dedup AS (SELECT *, row_number() OVER (PARTITION BY source, table_id "
         f"ORDER BY log_pos DESC) AS rn FROM tm) "
         f"SELECT source, table_id, schema_name, table_name, column_count, "
@@ -1361,11 +1382,11 @@ GROUP BY doc_id ORDER BY doc_id
         f"AS file_id, "
         f"CASE WHEN tokens[5] IN (8, 9) THEN "
         f"{_extract_string_sql('24', 'n_tok - 4')} END AS block_data "
-        f"FROM {RFX} WHERE tokens[5] IN (8, 9, 10, 11) "
+        f"FROM {RFX} WHERE {_VALID} AND tokens[5] IN (8, 9, 10, 11) "
         f"UNION ALL "
         f"SELECT doc_id, 'BEGIN_LOAD_QUERY' AS sink, {_u(19, 4)} AS file_id, "
         f"{_extract_string_sql('24', 'n_tok - 4')} AS block_data "
-        f"FROM {FX} WHERE tokens[5] = 17 "
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 17 "
         f"ORDER BY sink, doc_id"
     )
 
@@ -1374,7 +1395,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"CASE {_u(19, 2)} WHEN 0 THEN 'None' ELSE 'LostEvents' END AS d_type, "
         f"tokens[22]::INTEGER AS message_length, "
         f"coalesce({_chrcat('23', '22 + tokens[22]')}, '') AS message "
-        f"FROM {RFX} WHERE tokens[5] = 26 ORDER BY doc_id"
+        f"FROM {RFX} WHERE {_VALID} AND tokens[5] = 26 ORDER BY doc_id"
     )
 
     out["bl_rare_user_var"] = (
@@ -1382,7 +1403,7 @@ GROUP BY doc_id ORDER BY doc_id
         f"{_chrcat('24', f'23 + {_u(19, 4)}')} AS name, "
         f"tokens[24 + {_u(19, 4)}]::INTEGER AS is_null, "
         f"CAST(NULL AS VARCHAR) AS d_type "
-        f"FROM {RFX} WHERE tokens[5] = 14 ORDER BY doc_id"
+        f"FROM {RFX} WHERE {_VALID} AND tokens[5] = 14 ORDER BY doc_id"
     )
 
     # Load: fixed prefix + variable field-name list + the reference's quirky
@@ -1392,7 +1413,7 @@ WITH L AS (
   SELECT doc_id, tokens, n_tok,
     tokens[32]::BIGINT AS tnl, tokens[33]::BIGINT AS sl,
     {_u(33, 4)} AS nf
-  FROM {RFX} WHERE tokens[5] = 6
+  FROM {RFX} WHERE {_VALID} AND tokens[5] = 6
 ), o AS (
   SELECT doc_id, tokens, n_tok, tnl, sl, nf,
     list_sum(tokens[45 : 44 + nf])::BIGINT AS sfnl,
@@ -1427,7 +1448,7 @@ WITH L AS (
     tokens[32]::BIGINT AS tnl, tokens[33]::BIGINT AS sl,
     {_u(33, 4)} AS nf,
     38::BIGINT AS p1
-  FROM {RFX} WHERE tokens[5] = 12
+  FROM {RFX} WHERE {_VALID} AND tokens[5] = 12
 ), s AS (
   SELECT *, (p1 + 1 + tokens[p1])::BIGINT AS p2 FROM L
 ), s2 AS (SELECT *, (p2 + 1 + tokens[p2])::BIGINT AS p3 FROM s),
@@ -1462,7 +1483,7 @@ FROM o ORDER BY doc_id
         f"AS gtid_sets_csv, "
         f"(tokens[n_tok-7]::BIGINT + tokens[n_tok-6]::BIGINT*256 + "
         f"tokens[n_tok-5]::BIGINT*65536 + tokens[n_tok-4]::BIGINT*16777216) "
-        f"AS buf_size FROM {FX} WHERE tokens[5] = 35 ORDER BY doc_id"
+        f"AS buf_size FROM {FX} WHERE {_VALID} AND tokens[5] = 35 ORDER BY doc_id"
     )
 
     # ExecuteLoadQuery over the reference fixture (mod.rs:909-964)
@@ -1478,7 +1499,7 @@ FROM o ORDER BY doc_id
         f"{_chrcat(f'46 + {_elq_svl}', f'45 + {_elq_svl} + tokens[28]')} "
         f"AS schema_name, "
         f"{_extract_string_sql(f'47 + {_elq_svl} + tokens[28]', 'n_tok - 4')} "
-        f"AS query FROM {FX} WHERE tokens[5] = 18 ORDER BY doc_id"
+        f"AS query FROM {FX} WHERE {_VALID} AND tokens[5] = 18 ORDER BY doc_id"
     )
 
     # rows-image cell decode: the fixture table layouts are known
@@ -1521,10 +1542,10 @@ FROM o ORDER BY doc_id
     out["bl_rows_decode"] = f"""
 WITH RECURSIVE ev AS (
   SELECT doc_id, {_x_ev_select}
-  FROM {FX} WHERE tokens[5] IN (30, 31, 32)
+  FROM {FX} WHERE {_VALID} AND tokens[5] IN (30, 31, 32)
   UNION ALL
   SELECT doc_id, {_x_ev_select}
-  FROM {RFX} WHERE tokens[5] IN (30, 31, 32)
+  FROM {RFX} WHERE {_VALID} AND tokens[5] IN (30, 31, 32)
 ),
 lay(lcc, ci, tid, m0) AS (VALUES
   (1, 0, 3, 0),
@@ -1541,6 +1562,10 @@ walk AS (
     CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS bytes_csv,
     CAST(NULL AS DOUBLE) AS num_val
   FROM ev
+  -- zero-row events (empty col_data) seed nothing: without this the
+  -- col_idx < cc branch would walk into the checksum bytes and emit
+  -- phantom cells the Spark decoder (while p < len(col_data)) never does
+  WHERE 29 + xlen + bl * n_images < n_tok - 3
   UNION ALL
   SELECT doc_id, sink, table_id, cc, bl, extra_data, tokens,
     CASE WHEN col_idx >= cc THEN pos + bl ELSE pos + w.width END AS pos,

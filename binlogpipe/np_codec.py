@@ -17,24 +17,34 @@ from __future__ import annotations
 import numpy as np
 
 
+def _take(buf: bytes, off: int, n: int) -> bytes:
+    """Bounds-checked slice: the reference's nom take(n) FAILS on short
+    input; int.from_bytes over a silently-truncated Python slice would
+    emit a confident partial value with no parse_error instead."""
+    end = off + n
+    if end > len(buf):
+        raise ValueError(f"need {n} bytes at {off}, have {len(buf)}")
+    return buf[off:end]
+
+
 def u8(buf: bytes, off: int) -> tuple[int, int]:
     return buf[off], off + 1
 
 
 def u16(buf: bytes, off: int) -> tuple[int, int]:
-    return int.from_bytes(buf[off:off + 2], "little"), off + 2
+    return int.from_bytes(_take(buf, off, 2), "little"), off + 2
 
 
 def u24(buf: bytes, off: int) -> tuple[int, int]:
-    return int.from_bytes(buf[off:off + 3], "little"), off + 3
+    return int.from_bytes(_take(buf, off, 3), "little"), off + 3
 
 
 def u32(buf: bytes, off: int) -> tuple[int, int]:
-    return int.from_bytes(buf[off:off + 4], "little"), off + 4
+    return int.from_bytes(_take(buf, off, 4), "little"), off + 4
 
 
 def u48(buf: bytes, off: int) -> tuple[int, int]:
-    return int.from_bytes(buf[off:off + 6], "little"), off + 6
+    return int.from_bytes(_take(buf, off, 6), "little"), off + 6
 
 
 def u64(buf: bytes, off: int) -> tuple[int, int]:
@@ -43,11 +53,11 @@ def u64(buf: bytes, off: int) -> tuple[int, int]:
     _u64_col, uint64 acc .view(int64)) wraps the same way — an unsigned
     Python int >= 2^63 here would fail the pandas->Arrow conversion and
     quarantine the row only on the scalar path, diverging from vectorized."""
-    return int.from_bytes(buf[off:off + 8], "little", signed=True), off + 8
+    return int.from_bytes(_take(buf, off, 8), "little", signed=True), off + 8
 
 
 def i64(buf: bytes, off: int) -> tuple[int, int]:
-    return int.from_bytes(buf[off:off + 8], "little", signed=True), off + 8
+    return int.from_bytes(_take(buf, off, 8), "little", signed=True), off + 8
 
 
 def f32(buf: bytes, off: int) -> tuple[float, int]:
@@ -114,7 +124,11 @@ def tokens_to_bytes(arr) -> bytes:
     """One row's token column -> bytes. Polymorphic: accepts the contract
     array<int32> form or the internal packed-binary form (the routed table
     stores tokens as binary — parquet list<int32> encode is memory-bound
-    and ~3x the whole write cost; binary is lossless and fast)."""
+    and ~3x the whole write cost; binary is lossless and fast). A NULL
+    cell maps to b'' — such rows are already QUARANTINE-routed by
+    with_header, and the pack UDF must never fail the task over one."""
+    if arr is None or (isinstance(arr, float) and arr != arr):  # None/NaN
+        return b""
     if isinstance(arr, (bytes, bytearray)):
         return bytes(arr)
     return np.asarray(arr, dtype=np.int64).astype(np.uint8).tobytes()

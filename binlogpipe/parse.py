@@ -100,7 +100,12 @@ def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict],
     @pandas_udf(schema)
     def udf(tokens: pd.Series) -> pd.DataFrame:
         if vectorized is not None:
-            out = vectorized(tokens)
+            try:
+                out = vectorized(tokens)
+            except Exception:  # noqa: BLE001 — a whole-batch fast-path
+                # failure must degrade to the per-row loop (where errors
+                # become parse_error rows), never fail the Spark task
+                out = None
             if out is not None:
                 return out
         cols: dict[str, list] = {n: [] for n in names}

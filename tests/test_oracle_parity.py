@@ -76,3 +76,17 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() == 18
+
+
+def test_oracle_u64_wraps_like_spark(duck):
+    """_u(off, 8) must wrap two's-complement like np_codec.u64 — the naive
+    unsigned BIGINT sum hard-errors in DuckDB for any top-bit-set value."""
+    import __spark_entry__ as E
+    from binlogpipe import np_codec as c
+
+    payload = bytes(19) + (0xFEDCBA9876543210).to_bytes(8, "little")
+    toks = list(payload)
+    (got,) = duck.execute(
+        f"SELECT {E._u(19, 8)} FROM (SELECT ? AS tokens)", [toks]).fetchone()
+    want, _ = c.u64(payload, 19)
+    assert got == want == 0xFEDCBA9876543210 - (1 << 64)
