@@ -61,13 +61,27 @@ def _glob_root(path: str) -> str:
 
 
 def _normalize(p: str) -> str:
-    """binaryFile returns file URIs (file:/a or file:///a) — reduce to a
-    plain absolute path for prefix matching."""
-    if p.startswith("file:"):
-        p = p[5:]
-        while p.startswith("//"):
-            p = p[1:]
-    return p
+    """Reduce any URI/path form to one comparable absolute path so the
+    root-prefix match works for every scheme binaryFile can return — not
+    just `file:` URIs. Strips the scheme; for `scheme://authority/path`
+    forms also the authority (host:port / bucket — the root and its files
+    always share it, so dropping both sides keeps prefixes aligned);
+    schemeless relative paths resolve against the process working
+    directory (the same resolution the local FS applies)."""
+    import os
+    import re
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(.*)$", p)
+    if m:
+        rest = m.group(1)
+        if rest.startswith("//"):
+            rest = rest[2:]
+            slash = rest.find("/")
+            rest = rest[slash:] if slash >= 0 else "/"
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p if p.startswith("/") else os.path.abspath(p)
 
 
 def read_binlog_dir(spark: SparkSession, path: str,
@@ -107,9 +121,16 @@ def split_stream(files: DataFrame, root: str = "") -> DataFrame:
             out = {"doc_id": [], "tokens": [], "n_tok": [], "source": []}
             for p, content in zip(b["path"], b["content"]):
                 pn = _normalize(p)
+                # fallback is the FULL normalized path, never the basename:
+                # with the reference's <case>/log.bin layout a basename
+                # fallback collapses every file to stem 'log' — exactly the
+                # multi-host (source, doc_id) collision this module exists
+                # to prevent. The full path keeps sources unique and makes
+                # a root mismatch visible in the source name itself.
                 rel = (pn[len(root_n):].lstrip("/")
-                       if root_n and pn.startswith(root_n)
-                       else pn.rsplit("/", 1)[-1])
+                       if root_n and (pn.startswith(root_n + "/")
+                                      or pn == root_n)
+                       else pn.lstrip("/"))
                 stem = rel[:-4] if rel.endswith(".bin") else rel
                 if stem.endswith("/log") or stem == "log":
                     stem = stem[:-4] if stem.endswith("/log") else stem

@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def latest_table_map_window(*extra_tiebreak):
+    """Shared latest-wins ordering for the TableMap dimension. The batch
+    dim and the streaming snapshot (streaming.run_full_available_now) MUST
+    break log_pos ties identically — same payload-field keys — or an exact
+    log_pos collision with differing payloads deterministically picks
+    DIFFERENT winners in the two DAGs, silently breaking batch/stream
+    parity. Callers may append further tie-breaks (the streaming snapshot
+    adds doc_id desc, reached only when full payload keys tie — where the
+    candidates are identical rows and any winner is the same)."""
+    return Window.partitionBy("source", "table_id").orderBy(
+        F.col("log_pos").desc(), F.col("schema_name"), F.col("table_name"),
+        F.col("column_count"), *extra_tiebreak)
+
+
 def build_table_map_dim(table_map_decoded: DataFrame) -> DataFrame:
     """Decoded TABLE_MAP sink rows -> broadcastable dimension.
 
@@ -30,9 +44,7 @@ def build_table_map_dim(table_map_decoded: DataFrame) -> DataFrame:
     on payload fields so row_number's winner is deterministic (duplicated
     ingests of the same event tie on IDENTICAL rows, which is harmless).
     """
-    w = Window.partitionBy("source", "table_id").orderBy(
-        F.col("log_pos").desc(), F.col("schema_name"), F.col("table_name"),
-        F.col("column_count"))
+    w = latest_table_map_window()
     return (
         table_map_decoded
         .select("source", "log_pos", "table_id", "schema_name", "table_name",

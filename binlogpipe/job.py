@@ -185,8 +185,22 @@ def run_pipeline(
             stage_metrics = {k: (int(v) if v is not None else None)
                              for k, v in obs.get.items()}
         except Exception:  # noqa: BLE001 — Observation.get asserts on a
-            # zero-row observed action (Spark 4); empty input is valid
-            stage_metrics = {"rows": 0, "tokens": 0}
+            # zero-row observed action (Spark 4); empty input is valid.
+            # But ANY metrics failure lands here, so confirm emptiness
+            # against the routed output that was just written before
+            # recording rows=0 — a transient metrics error must not
+            # masquerade as empty input, skip decode, and persist rows=0
+            # into the checkpoint for every resumed run after
+            try:
+                probe = (spark.table(f"{iceberg_prefix}.routed")
+                         if sink_format == "iceberg"
+                         else spark.read.parquet(routed_path))
+                is_empty = len(probe.head(1)) == 0
+            except Exception:  # noqa: BLE001 — a zero-row partitionBy
+                # write leaves only _SUCCESS; the schema-less read throws
+                is_empty = True
+            stage_metrics = ({"rows": 0, "tokens": 0} if is_empty
+                             else {"rows": None, "tokens": None})
         stage_metrics["wall_sec"] = round(time.time() - t0, 3)
         metrics["stages"]["route"] = stage_metrics
         ck.mark("route", **stage_metrics)

@@ -279,47 +279,70 @@ def feature_extract(media: DataFrame,
             .orderBy("media_id"))
 
 
+RESIZE_SCHEMA = T.StructType(
+    MEDIA_SCHEMA.fields + [T.StructField("resize_status", T.StringType())])
+
+
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     """Nearest-neighbor integer downscale of BMP image payloads (other
     kinds pass through). Re-encodes a real BMP at w/factor x h/factor —
     the distributed shape of a preprocessing stage: binary in, binary out,
-    no driver involvement."""
+    no driver involvement.
+
+    A row that cannot be resized (non-image kind, undecodable payload,
+    source width < 4) passes through UNCHANGED with the reason in
+    `resize_status` — one bad image is data, not a stage failure
+    (quarantine-not-panic, same policy as the event decoders). The BMP
+    encoder requires a 4-byte row stride (nw*3 % 4 == 0), so the target
+    width is aligned DOWN to a multiple of 4; when that changes the naive
+    w//factor width, the adjustment is surfaced as
+    `width_aligned:<naive>-><actual>` instead of silently resizing to a
+    different geometry."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = b.copy()
-            payloads, widths, heights = [], [], []
+            payloads, widths, heights, status = [], [], [], []
             for r in b.itertuples(index=False):
                 if r.kind != "image":
                     payloads.append(bytes(r.payload))
                     widths.append(r.meta_width)
                     heights.append(r.meta_height)
+                    status.append(f"passthrough:kind={r.kind}")
                     continue
-                px, w, h = decode_bmp(bytes(r.payload))
-                if w < 4:
-                    raise ValueError(
-                        f"media_id={r.media_id}: source width {w} < 4 — "
-                        f"cannot produce a 4-aligned-stride BMP")
-                nw, nh = max(1, w // factor), max(1, h // factor)
-                # the encoder needs nw*3 % 4 == 0, i.e. nw a multiple of 4
-                # (gcd(3,4)=1): align the target width DOWN so every factor
-                # is valid instead of crashing the stage on e.g. factor=3
-                nw = max(4, nw - nw % 4)
-                rows = []
-                for y in range(nh):
-                    sy = min(h - 1, y * factor)
-                    row = bytearray()
-                    for x in range(nw):
-                        sx = min(w - 1, x * factor)
-                        o = (sy * w + sx) * 3
-                        row += px[o:o + 3]
-                    rows.append(bytes(row))
-                payloads.append(encode_bmp(b"".join(rows), nw, nh))
-                widths.append(nw)
-                heights.append(nh)
+                try:
+                    px, w, h = decode_bmp(bytes(r.payload))
+                    if w < 4:
+                        raise ValueError(
+                            f"source width {w} < 4 — cannot produce a "
+                            f"4-aligned-stride BMP")
+                    naive = max(1, w // factor)
+                    nh = max(1, h // factor)
+                    nw = max(4, naive - naive % 4)
+                    rows = []
+                    for y in range(nh):
+                        sy = min(h - 1, y * factor)
+                        row = bytearray()
+                        for x in range(nw):
+                            sx = min(w - 1, x * factor)
+                            o = (sy * w + sx) * 3
+                            row += px[o:o + 3]
+                        rows.append(bytes(row))
+                    payloads.append(encode_bmp(b"".join(rows), nw, nh))
+                    widths.append(nw)
+                    heights.append(nh)
+                    status.append(None if nw == naive
+                                  else f"width_aligned:{naive}->{nw}")
+                except Exception as e:  # noqa: BLE001 — passthrough, don't
+                    # fail the whole Spark stage on one bad payload
+                    payloads.append(bytes(r.payload))
+                    widths.append(r.meta_width)
+                    heights.append(r.meta_height)
+                    status.append(f"error:{type(e).__name__}: {e}")
             out["payload"] = payloads
             out["meta_width"] = widths
             out["meta_height"] = heights
+            out["resize_status"] = status
             yield out
 
-    return media.mapInPandas(gen, MEDIA_SCHEMA)
+    return media.mapInPandas(gen, RESIZE_SCHEMA)

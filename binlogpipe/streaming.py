@@ -189,6 +189,23 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
     out = Path(out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            # fresh stream start (new checkpoint): everything under this
+            # out dir belongs to a PREVIOUS run — without this wipe, a
+            # later batch N would pick the stale max(v<N) as its dim
+            # rebuild base, and any whole-directory read of routed/ or a
+            # sink would mix the old run's batch=* rows with the new run's.
+            # Runs BEFORE this batch's own writes (its dirs are batch=0).
+            import shutil as _sh
+            for p in (out / "table_map_dim").glob("v=*"):
+                _sh.rmtree(p, ignore_errors=True)
+            for p in (out / "routed").glob("batch=*"):
+                _sh.rmtree(p, ignore_errors=True)
+            sinks_root = out / "sinks"
+            if sinks_root.is_dir():
+                for s in sinks_root.iterdir():
+                    for p in s.glob("batch=*"):
+                        _sh.rmtree(p, ignore_errors=True)
         hdr = parse.with_header(batch_df)
         hdr = hdr.withColumn(
             "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
@@ -204,8 +221,12 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
             .partitionBy("sink").parquet(routed_batch))
 
         # incremental cumulative dim: previous snapshot ∪ this batch's
-        # decoded TableMaps, latest-wins per (source, table_id). doc_id
-        # rides along as the deterministic log_pos tie-break.
+        # decoded TableMaps, latest-wins per (source, table_id). Tie-break
+        # keys MATCH the batch path (enrich.build_table_map_dim: payload
+        # fields after log_pos) so an exact log_pos collision with
+        # differing payloads picks the SAME winner in both DAGs; doc_id is
+        # a final tie-break reached only when full payload keys tie — where
+        # the candidates are identical rows and any winner is the same.
         batch_routed = spark.read.option(
             "basePath", str(out / "routed")).parquet(routed_batch)
         schema, factory = parse.DECODERS["TABLE_MAP"]
@@ -217,22 +238,12 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
                         "schema_name", "table_name", "column_count",
                         "columns_type", "null_bits"))
         dim_root = out / "table_map_dim"
-        if batch_id == 0:
-            # fresh stream start (new checkpoint): snapshots under this out
-            # dir belong to a PREVIOUS run — without this wipe, a later
-            # batch N would pick the stale max(v<N) as its rebuild base and
-            # silently merge the old run's table layouts into the new dim
-            import shutil as _sh
-            for p in dim_root.glob("v=*"):
-                _sh.rmtree(p, ignore_errors=True)
         prior = [int(p.name[2:]) for p in dim_root.glob("v=*")
                  if p.name[2:].isdigit() and int(p.name[2:]) < batch_id]
         if prior:
             prev = spark.read.parquet(str(dim_root / f"v={max(prior)}"))
             cand = prev.unionByName(cand)
-        from pyspark.sql import Window
-        w = Window.partitionBy("source", "table_id").orderBy(
-            F.col("log_pos").desc(), F.col("doc_id").desc())
+        w = enrich.latest_table_map_window(F.col("doc_id").desc())
         snap = (cand.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
         snap_path = str(dim_root / f"v={batch_id}")

@@ -129,3 +129,43 @@ def test_same_named_files_in_different_dirs_stay_distinct(spark, tmp_path):
     assert sources == {"host1/binlog.000042", "host2/binlog.000042"}
     doc_ids = [r.doc_id for r in rows]
     assert len(doc_ids) == len(set(doc_ids))
+
+
+def test_uri_scheme_roots_and_collision_free_fallback(spark):
+    """Root-prefix matching must survive scheme://authority URI forms
+    (hdfs://, s3a:// — binaryFile returns resolved URIs, not the literal
+    input string), and a root mismatch must fall back to the FULL path,
+    never the basename: with the reference's <case>/log.bin layout a
+    basename fallback collapses every file to stem 'log', colliding
+    (source, doc_id) across files."""
+    import struct
+
+    ev = (struct.pack("<IBIII", 1000, 0x03, 1, 23, 4)[:17]
+          + struct.pack("<H", 0) + b"\x12\x34\x56\x78")
+    blob = binsource.MAGIC + ev
+    files = spark.createDataFrame(
+        [("hdfs://nn:8020/logs/host1/log.bin", bytearray(blob)),
+         ("hdfs://nn:8020/logs/host2/log.bin", bytearray(blob))],
+        "path string, content binary")
+    rows = binsource.split_stream(files, root="hdfs://nn:8020/logs").collect()
+    assert {r.source for r in rows} == {"host1", "host2"}
+
+    # s3a-style: authority (bucket) strips identically on both sides
+    files_s3 = spark.createDataFrame(
+        [("s3a://bucket/raw/h1/log.bin", bytearray(blob))],
+        "path string, content binary")
+    rows = binsource.split_stream(files_s3, root="s3a://bucket/raw").collect()
+    assert rows[0].source == "h1"
+
+    # mismatched root: full-path fallback keeps sources distinct
+    rows = binsource.split_stream(files, root="/other").collect()
+    assert {r.source for r in rows} == {"logs/host1", "logs/host2"}
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    # component-boundary match: root /logs/host1 must NOT prefix-match
+    # /logs/host1x/...
+    files_b = spark.createDataFrame(
+        [("file:/logs/host1x/a.bin", bytearray(blob))],
+        "path string, content binary")
+    rows = binsource.split_stream(files_b, root="/logs/host1").collect()
+    assert rows[0].source == "logs/host1x/a"

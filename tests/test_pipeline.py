@@ -275,3 +275,26 @@ def test_pipeline_empty_input_completes(spark, tmp_path):
     # resume path: a second invocation is also graceful
     m2 = job.run_pipeline(spark, str(inp), str(tmp_path / "out"), run_id="e")
     assert m2["rows"] == 0
+
+
+def test_metrics_failure_does_not_fake_empty_input(
+        spark, fixture_parquet, tmp_path, monkeypatch):
+    """A transient Observation failure on NON-empty input must not take the
+    empty-input early return (which skips decode and persists rows=0 into
+    the checkpoint for every resumed run after) — the except path confirms
+    emptiness against the written routed output first."""
+    from binlogpipe import job, lineage
+
+    class _BoomObs:
+        @property
+        def get(self):
+            raise RuntimeError("transient metrics failure")
+
+    monkeypatch.setattr(lineage, "stage_observation",
+                        lambda name: _BoomObs())
+    monkeypatch.setattr(lineage, "observe_counts", lambda df, obs: df)
+    m = job.run_pipeline(spark, fixture_parquet, str(tmp_path / "out"),
+                         run_id="metrics-boom")
+    assert not m.get("empty_input")
+    assert "decode" in m["stages"]
+    assert m["rows"] == 166

@@ -163,3 +163,46 @@ def test_stream_routed_parquet_and_checkpoint_resume(spark, fixture_parquet,
                 Path(input_dir) / "part-1.parquet")
     streaming.run_available_now(spark, input_dir, str(out), str(ck))
     assert spark.read.parquet(str(out)).count() == 332
+
+
+def test_stream_batch0_wipes_stale_outputs(spark, fixture_parquet, tmp_path):
+    """A fresh stream (new checkpoint) sharing an out dir with a previous
+    run must not mix the old run's batch=* rows into whole-directory reads
+    of routed/ or the sinks — batch 0 wipes stale batch dirs before its
+    own writes (and still writes its own batch=0)."""
+    import shutil
+
+    from binlogpipe import streaming
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    shutil.copy(fixture_parquet, ind / "part-0.parquet")
+    out = tmp_path / "out"
+    stale = [out / "routed" / "batch=7",
+             out / "sinks" / "QUERY" / "batch=7",
+             out / "table_map_dim" / "v=7"]
+    for d in stale:
+        d.mkdir(parents=True)
+        (d / "junk").write_bytes(b"stale")
+    streaming.run_full_available_now(
+        spark, str(ind), str(out), str(tmp_path / "ck"))
+    for d in stale:
+        assert not d.exists()
+    assert (out / "routed" / "batch=0").exists()
+    assert (out / "table_map_dim" / "v=0").exists()
+
+
+def test_stream_dim_tiebreak_matches_batch(spark):
+    """ADVICE pin: on an exact log_pos collision with differing payloads
+    the streaming snapshot and the batch dim must pick the SAME winner
+    (shared tie-break keys: schema_name, table_name, column_count)."""
+    from binlogpipe import enrich
+
+    rows = [("s", 100, 5, "db_b", "t_b", 2, [3, 3], [0]),
+            ("s", 100, 5, "db_a", "t_a", 1, [3], [0])]
+    cols = ("source string, log_pos long, table_id long, schema_name string, "
+            "table_name string, column_count int, columns_type array<int>, "
+            "null_bits array<int>")
+    df = spark.createDataFrame(rows, cols)
+    got = enrich.build_table_map_dim(df).collect()
+    assert len(got) == 1 and got[0]["schema_name"] == "db_a"

@@ -277,3 +277,27 @@ def test_multimodal_review_fixes(spark):
     px3, w3, h3 = multimodal.decode_bmp(payload)
     assert (w3, h3) == (5, 2)
     assert px3 == rows[0] + rows[1]  # padding stripped, not counted
+
+
+def test_multimodal_resize_quarantines_bad_rows(spark):
+    """ADVICE pin: an unresizable image (undecodable payload / width < 4)
+    passes through with the reason in resize_status instead of failing the
+    whole stage; non-image kinds surface passthrough; a 4-alignment width
+    change is surfaced, not silent."""
+    px = bytes(range(16 * 2 * 3))
+    good = multimodal.encode_bmp(px, 16, 2)
+    rows = [(0, "image", bytearray(good), 16, 2, None),
+            (1, "image", bytearray(b"not a bmp"), 3, 3, None),
+            (2, "audio", bytearray(b"\x00" * 8), None, None, 100)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in multimodal.resize_images(media, factor=3).collect()}
+    # 16//3=5 -> aligned down to 4, surfaced
+    assert out[0]["meta_width"] == 4
+    assert out[0]["resize_status"] == "width_aligned:5->4"
+    # bad payload: passthrough + error status, stage survives
+    assert bytes(out[1]["payload"]) == b"not a bmp"
+    assert out[1]["resize_status"].startswith("error:")
+    # non-image: passthrough, payload untouched
+    assert out[2]["resize_status"] == "passthrough:kind=audio"
+    assert bytes(out[2]["payload"]) == b"\x00" * 8
