@@ -261,7 +261,19 @@ def run_pipeline(
         # the cache materialization INSIDE the stage (as a real run must)
         # measured decode 11s -> 16s at sf0.1 — the 18 pruned parquet scans
         # are cheaper than one full cache build + 18 cache reads.
-        present = [r["sink"] for r in routed_df.select("sink").distinct().collect()]
+        #
+        # Which sinks exist is FILESYSTEM METADATA: the routed write is
+        # partitioned by sink, so the `sink=<name>` directory names ARE the
+        # distinct set — listing them costs one directory listing instead
+        # of a full routed-table scan (an extra 100 TB scan per run just to
+        # learn ≤22 known names). Iceberg keeps the scan-free property via
+        # its partitions metadata table.
+        if sink_format == "iceberg":
+            present = [r["partition"]["sink"] for r in spark.table(
+                f"{iceberg_prefix}.routed.partitions").collect()]
+        else:
+            present = [p.name[len("sink="):]
+                       for p in Path(routed_path).glob("sink=*")]
 
         # hot sinks get full-width decode (they dominate rows: QUERY+GTID
         # alone are 42%); the 4-job pool overlaps the small sinks behind

@@ -411,6 +411,77 @@ def _rows_query_vectorized(tokens: pd.Series):
                          "parse_error": None})
 
 
+def _user_var_vectorized(tokens: pd.Series):
+    """UserVar event, whole-batch (mod.rs:797-858): name_length is the one
+    fixed u32 gather; after the per-row name, the is_null byte splits the
+    batch into the two fixed layouts — NULL (nothing follows) and value
+    (type byte + charset + value_length + bytes, INT adding a trailing
+    flags byte, mod.rs:833-840) — decoded via per-row-base gathers on the
+    not-null subset. A row whose declared lengths leave a required field
+    outside the row returns None for the batch: the scalar fallback owns
+    per-row quarantine semantics and corrupt rows are rare."""
+    import numpy as np
+
+    fl = _flat_batch(tokens, H + 4 + 1)
+    if fl is None:
+        return None
+    nl = fl.u(H, 4)
+    npos = fl.offs + H + 4
+    ipos = npos + nl
+    row_end = fl.offs + fl.lens
+    if not (ipos < row_end).all():
+        return None
+    inull = fl.flat[ipos]
+    notnull = np.nonzero(inull != 1)[0]
+    dpos = ipos[notnull] + 1
+    # fixed not-null prefix: type(1) + charset(4) + value_length(4)
+    if not (dpos + 9 <= row_end[notnull]).all():
+        return None
+
+    def _gu(base, width):
+        acc = np.zeros(len(base), dtype=np.uint64)
+        for k in range(width):
+            acc |= fl.flat[base + k].astype(np.uint64) << np.uint64(8 * k)
+        return acc.astype(np.int64)
+
+    dbyte = fl.flat[dpos]
+    charset_s = _gu(dpos + 1, 4)
+    vl_s = _gu(dpos + 5, 4)
+    vstart = dpos + 9
+    end_s = row_end[notnull]
+    is_int = dbyte == 2
+    # INT's flags byte sits AFTER the (possibly row-truncated) value; the
+    # scalar path raises when it's missing — bail for identical handling
+    if bool((is_int & (vstart + vl_s >= end_s)).any()):
+        return None
+    buf = fl.buf
+    names = [c.string_var(buf[o:e], k)
+             for o, e, k in zip(npos.tolist(), ipos.tolist(), nl.tolist())]
+    n = fl.n
+    d_type = np.full(n, None, dtype=object)
+    charset = np.full(n, None, dtype=object)
+    value_length = np.full(n, None, dtype=object)
+    value = np.full(n, None, dtype=object)
+    value_flags = np.full(n, None, dtype=object)
+    i32 = fl.flat.astype(np.int32)
+    for j, tb, cs, vl, s, e, ii in zip(
+            notnull.tolist(), dbyte.tolist(), charset_s.tolist(),
+            vl_s.tolist(), vstart.tolist(), end_s.tolist(),
+            is_int.tolist()):
+        d_type[j] = _USER_VAR_TYPES.get(tb, "Unknown")
+        charset[j] = cs
+        value_length[j] = vl
+        # value truncates at the row end exactly like the scalar slice
+        value[j] = i32[s:min(s + vl, e)]
+        if ii:
+            value_flags[j] = np.int32(fl.flat[s + vl])
+    return pd.DataFrame({
+        "name_length": nl, "name": names, "is_null": inull == 1,
+        "d_type": d_type, "charset": charset,
+        "value_length": value_length, "value": value,
+        "value_flags": value_flags, "parse_error": None})
+
+
 def _format_desc_vectorized(tokens: pd.Series):
     """FormatDescription event, whole-batch (mod.rs:860-882).
     supported_types returns int32 numpy slices (Arrow accepts ndarray cells
@@ -1280,7 +1351,9 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
                                 _rotate_vectorized)),
     "INTVAR": (INTVAR_SCHEMA, _simple(INTVAR_SCHEMA, decode_intvar_py)),
     "RAND": (RAND_SCHEMA, _simple(RAND_SCHEMA, decode_rand_py)),
-    "USER_VAR": (USER_VAR_SCHEMA, _simple(USER_VAR_SCHEMA, decode_user_var_py)),
+    "USER_VAR": (USER_VAR_SCHEMA,
+                 lambda: _rowwise(USER_VAR_SCHEMA, decode_user_var_py,
+                                  _user_var_vectorized)),
     "FORMAT_DESC": (FORMAT_DESC_SCHEMA,
                     lambda: _rowwise(FORMAT_DESC_SCHEMA, decode_format_desc_py,
                                      _format_desc_vectorized)),

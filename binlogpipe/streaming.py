@@ -257,8 +257,11 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
         for k in sorted(prior)[:-2]:
             _sh.rmtree(dim_root / f"v={k}", ignore_errors=True)
 
-        present = [r["sink"] for r in
-                   batch_routed.select("sink").distinct().collect()]
+        # which sinks this batch produced is filesystem metadata (the
+        # routed batch write is partitioned by sink) — list the sink=*
+        # directory names instead of re-scanning the batch
+        present = [p.name[len("sink="):]
+                   for p in Path(routed_batch).glob("sink=*")]
         base_cols = ["doc_id", "n_tok", "source", "timestamp", "event_type",
                      "server_id", "event_size", "log_pos", "flags",
                      "checksum"]

@@ -213,3 +213,48 @@ def test_query_vectorized_bad_status_vars_is_row_error():
     assert out["parse_error"][1] is None
     assert out["query"][1] == "SELECT 2"
     assert json.loads(out["status_vars"][1]) == []
+
+
+@st.composite
+def user_var_payload(draw):
+    name = draw(st.binary(min_size=0, max_size=12))
+    is_null = draw(st.booleans())
+    if is_null:
+        body = len(name).to_bytes(4, "little") + name + b"\x01"
+    else:
+        dtype = draw(st.sampled_from([0, 1, 2, 3, 4, 5, 9]))
+        val = draw(st.binary(min_size=0, max_size=16))
+        body = (len(name).to_bytes(4, "little") + name + b"\x00"
+                + bytes([dtype])
+                + draw(st.binary(min_size=4, max_size=4))  # charset
+                + len(val).to_bytes(4, "little") + val)
+        if dtype == 2:  # INT carries a trailing flags byte (mod.rs:833-840)
+            body += bytes([draw(st.integers(min_value=0, max_value=255))])
+    size = H + len(body) + 4
+    return _hdr(0x0E, size) + body + b"\x00" * 4
+
+
+@given(st.lists(user_var_payload(), min_size=1, max_size=8))
+def test_user_var_vectorized_equiv(payloads):
+    _compare(parse._user_var_vectorized, parse.decode_user_var_py,
+             parse.USER_VAR_SCHEMA, payloads)
+
+
+def test_user_var_vectorized_falls_back_on_corrupt_rows():
+    """Declared lengths that leave a required field outside the row must
+    send the WHOLE batch to the scalar path (None), whose per-row
+    try/except owns quarantine semantics."""
+    # INT whose declared value_length truncates at the row end: the
+    # trailing flags byte is unreachable
+    body = ((3).to_bytes(4, "little") + b"abc" + b"\x00" + b"\x02"
+            + b"\x21\x00\x00\x00" + (99).to_bytes(4, "little") + b"\x01")
+    bad = _hdr(0x0E, H + len(body) + 4) + body + b"\x00" * 4
+    assert parse._user_var_vectorized(pd.Series([bad])) is None
+    # name_length overrunning the row: is_null byte unreachable
+    body2 = (250).to_bytes(4, "little") + b"ab"
+    bad2 = _hdr(0x0E, H + len(body2) + 4) + body2 + b"\x00" * 4
+    assert parse._user_var_vectorized(pd.Series([bad2])) is None
+    # and the scalar path quarantines them per-row instead of raising
+    exp = _scalar_frame(parse.decode_user_var_py, parse.USER_VAR_SCHEMA,
+                        [bad, bad2])
+    assert all(e is not None for e in exp["parse_error"])
