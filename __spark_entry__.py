@@ -458,11 +458,13 @@ def q_tpch_region_revenue(spark, sf_dir):
 # --- training-data ops -------------------------------------------------------
 
 def q_doc_exact_dedup(spark, sf_dir):
-    return textops.exact_dedup(_tbl(spark, sf_dir, "documents"))
+    return textops.exact_dedup(_tbl(spark, sf_dir, "documents"),
+                               ordered=True)
 
 
 def q_doc_token_stats(spark, sf_dir):
-    return textops.token_stats(_tbl(spark, sf_dir, "documents")).select(
+    return textops.token_stats(_tbl(spark, sf_dir, "documents"),
+                               ordered=True).select(
         "doc_id",
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
@@ -471,59 +473,70 @@ def q_doc_token_stats(spark, sf_dir):
 
 
 def q_doc_quality(spark, sf_dir):
-    return textops.quality(_tbl(spark, sf_dir, "documents")).select(
+    return textops.quality(_tbl(spark, sf_dir, "documents"),
+                           ordered=True).select(
         "doc_id", F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
         "punct_ratio", "stopword_ratio", "distinct_token_ratio")
 
 
 def q_doc_langid(spark, sf_dir):
-    return textops.langid(_tbl(spark, sf_dir, "documents"))
+    return textops.langid(_tbl(spark, sf_dir, "documents"), ordered=True)
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    return textops.fingerprint(_tbl(spark, sf_dir, "documents"))
+    return textops.fingerprint(_tbl(spark, sf_dir, "documents"),
+                               ordered=True)
 
 
 def q_doc_simhash(spark, sf_dir):
-    return textops.simhash(_tbl(spark, sf_dir, "documents"))
+    return textops.simhash(_tbl(spark, sf_dir, "documents"), ordered=True)
 
 
 def q_doc_minhash_sig(spark, sf_dir):
-    return textops.minhash_signature(_tbl(spark, sf_dir, "documents"))
+    return textops.minhash_signature(_tbl(spark, sf_dir, "documents"),
+                                     ordered=True)
 
 
 def q_doc_neardup_minhash(spark, sf_dir):
-    return textops.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"), 0.5)
+    return textops.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"), 0.5,
+                                     ordered=True)
 
 
 def q_doc_neardup_clusters(spark, sf_dir):
-    return textops.minhash_lsh_clusters(_tbl(spark, sf_dir, "documents"), 0.5)
+    return textops.minhash_lsh_clusters(_tbl(spark, sf_dir, "documents"),
+                                        0.5, ordered=True)
 
 
 def q_doc_neardup_jaccard(spark, sf_dir):
-    return textops.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), 0.6)
+    return textops.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"),
+                                       0.6, ordered=True)
 
 
 def q_emb_cosine_topk(spark, sf_dir):
-    return vecops.cosine_topk(_tbl(spark, sf_dir, "embeddings"), 5, 10)
+    return vecops.cosine_topk(_tbl(spark, sf_dir, "embeddings"), 5, 10,
+                              ordered=True)
 
 
 def q_emb_lsh_ann(spark, sf_dir):
     return vecops.signbit_lsh_ann(_tbl(spark, sf_dir, "embeddings"),
-                                  bits=6, k=3, bands=3, max_bucket=64)
+                                  bits=6, k=3, bands=3, max_bucket=64,
+                                  ordered=True)
 
 
 def q_emb_ivf_ann(spark, sf_dir):
-    return vecops.ivf_ann(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20)
+    return vecops.ivf_ann(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20,
+                          ordered=True)
 
 
 def q_emb_ivf_recall(spark, sf_dir):
-    return vecops.ivf_recall(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20, 2)
+    return vecops.ivf_recall(_tbl(spark, sf_dir, "embeddings"), 8, 3, 20, 2,
+                             ordered=True)
 
 
 def q_emb_neardup(spark, sf_dir):
     return vecops.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"),
-                                       0.35, bits=6, bands=3, max_bucket=64)
+                                       0.35, bits=6, bands=3, max_bucket=64,
+                                       ordered=True)
 
 
 # --- non-SQL-expressible (rows-only driver check) ----------------------------
@@ -721,7 +734,8 @@ def q_multimodal_features(spark, sf_dir):
     from binlogpipe import multimodal
 
     return multimodal.feature_extract(
-        multimodal.synth_media_df(_tbl(spark, sf_dir, "documents")))
+        multimodal.synth_media_df(_tbl(spark, sf_dir, "documents")),
+        ordered=True)
 
 
 # ---------------------------------------------------------------------------

@@ -250,10 +250,12 @@ def _stats(ints: list[int]) -> tuple[float, float]:
 
 
 def feature_extract(media: DataFrame,
-                    frames_per_video: int = FRAMES_SAMPLED) -> DataFrame:
+                    frames_per_video: int = FRAMES_SAMPLED,
+                    ordered: bool = False) -> DataFrame:
     """mapInPandas feature extraction: real decode per kind, integer-exact
     stats, content digest over the decoded csv. Repartitions by media_id so
-    batches are balanced at scale."""
+    batches are balanced at scale. `ordered=True` adds the oracle-compare
+    sort; scale callers keep the default sort-free plan."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -274,9 +276,8 @@ def feature_extract(media: DataFrame,
                 cols["n_frames_sampled"].append(n_sampled)
             yield pd.DataFrame(cols)
 
-    return (media.repartition("media_id")
-            .mapInPandas(gen, FEATURE_SCHEMA)
-            .orderBy("media_id"))
+    out = media.repartition("media_id").mapInPandas(gen, FEATURE_SCHEMA)
+    return out.orderBy("media_id") if ordered else out
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -10,6 +10,12 @@ scale to the 100 TB tier. Each operator has a DuckDB-equivalent oracle in
 
 Shared deterministic hash: polynomial rolling hash over character codes,
 h = (h*31 + ascii(c)) mod 1e9+7 — portable across Spark and DuckDB.
+
+Every operator takes ``ordered`` (default False): the engine emits NO
+global sort — a total orderBy on a 100 TB output is a full range-shuffle
+paid only for display determinism. ``ordered=True`` is the
+oracle/driver-compare mode (__spark_entry__ uses it); scale callers keep
+the default and get a sort-free physical plan (pinned by test_plans).
 """
 
 from __future__ import annotations
@@ -42,26 +48,25 @@ def _fp_expr(col: str = "text") -> str:
     )
 
 
-def fingerprint(docs: DataFrame) -> DataFrame:
+def fingerprint(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """Deterministic per-document rolling-hash fingerprint."""
-    return docs.select(
-        "doc_id", F.expr(_fp_expr()).alias("fingerprint")
-    ).orderBy("doc_id")
+    out = docs.select("doc_id", F.expr(_fp_expr()).alias("fingerprint"))
+    return out.orderBy("doc_id") if ordered else out
 
 
-def exact_dedup(docs: DataFrame) -> DataFrame:
+def exact_dedup(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct text with
     the canonical (min) doc_id and copy count. Hash-groupBy gets map-side
     partial aggregation; at scale the md5 key shards evenly (no skew)."""
-    return (
+    out = (
         docs.withColumn("text_hash", F.md5(F.encode(F.col("text"), "utf-8")))
         .groupBy("text_hash")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("n_copies"),
         )
-        .orderBy("text_hash")
     )
+    return out.orderBy("text_hash") if ordered else out
 
 
 # GPT-2-style pre-tokenizer pattern, simplified so every alternative is
@@ -71,11 +76,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
+def token_stats(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """Token counting: whitespace tokens, word-ish regex tokens, BPE-ish
     pre-tokenizer segments (the unit a GPT-style tokenizer would then
     merge), and chars."""
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).alias(
@@ -88,15 +93,16 @@ def token_stats(docs: DataFrame) -> DataFrame:
             F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias(
             "n_bpe_tokens"),
         F.length("text").alias("n_chars_calc"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
-def quality(docs: DataFrame) -> DataFrame:
+def quality(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """Quality scoring: length/punctuation/stopword ratios + a composite.
     Mirrors the usual pretraining-filter heuristics (C4-style)."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = r"split(trim(text), '\\s+')"
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
         F.round(
@@ -111,10 +117,11 @@ def quality(docs: DataFrame) -> DataFrame:
             F.expr(f"size(array_distinct({toks}))")
             / F.expr(f"greatest(size({toks}), 1)"), 6,
         ).alias("distinct_token_ratio"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
-def langid(docs: DataFrame) -> DataFrame:
+def langid(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """Heuristic language-ID: stopword-hit-rate score thresholded to a
     prediction. (The testdata labels are synthetic; the contract is the
     deterministic score, oracle-matched in SQL.)"""
@@ -124,11 +131,12 @@ def langid(docs: DataFrame) -> DataFrame:
         F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
         / F.expr(f"greatest(size({toks}), 1)"), 6,
     )
-    return docs.select(
+    out = docs.select(
         "doc_id",
         score.alias("en_score"),
         F.when(score >= 0.05, "en").otherwise("unknown").alias("lang_pred"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +170,7 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.expr(_shingle_expr(n=n)).alias("shingles"))
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """16-permutation MinHash signature over 3-gram shingle hashes.
     min_j over shingles of (a_j*h + b_j) mod p — all JVM lambda exprs."""
     sh = shingle_sets(docs)
@@ -172,7 +180,8 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
     ]
-    return sh.select("doc_id", *sig_cols).orderBy("doc_id")
+    out = sh.select("doc_id", *sig_cols)
+    return out.orderBy("doc_id") if ordered else out
 
 
 def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
@@ -201,7 +210,8 @@ def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5,
-                      max_bucket: int = 64) -> DataFrame:
+                      max_bucket: int = 64,
+                      ordered: bool = False) -> DataFrame:
     """MinHash + LSH near-dup: band the 16-slot signature into 4 bands of 4,
     bucket-join on (band, band signature), then verify candidates with exact
     shingle Jaccard. The band join is the scale path — candidate generation
@@ -219,7 +229,7 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5,
     sh = shingle_sets(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b_ = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
+    out = (
         cand.join(a, "doc_a").join(b_, "doc_b")
         .withColumn(
             "jaccard",
@@ -230,12 +240,13 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5,
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 def minhash_lsh_clusters(docs: DataFrame, jaccard_threshold: float = 0.5,
-                         max_bucket: int = 64) -> DataFrame:
+                         max_bucket: int = 64,
+                         ordered: bool = False) -> DataFrame:
     """Near-dup output in O(n) instead of O(n + pairs): every doc maps to a
     cluster representative — the smallest doc_id among its verified LSH
     neighbors (or itself). One-hop min, not a full connected-components
@@ -245,16 +256,17 @@ def minhash_lsh_clusters(docs: DataFrame, jaccard_threshold: float = 0.5,
     run — the pair list of a boilerplate cluster is quadratic, this isn't."""
     pairs = minhash_lsh_pairs(docs, jaccard_threshold, max_bucket)
     best = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("rep_min"))
-    return (docs.select("doc_id")
-            .join(best, docs["doc_id"] == best["doc_b"], "left")
-            .select("doc_id",
-                    F.coalesce(F.col("rep_min"), F.col("doc_id")).alias("rep_id"))
-            .withColumn("is_rep", (F.col("rep_id") == F.col("doc_id")).cast("int"))
-            .orderBy("doc_id"))
+    out = (docs.select("doc_id")
+           .join(best, docs["doc_id"] == best["doc_b"], "left")
+           .select("doc_id",
+                   F.coalesce(F.col("rep_min"), F.col("doc_id")).alias("rep_id"))
+           .withColumn("is_rep", (F.col("rep_id") == F.col("doc_id")).cast("int")))
+    return out.orderBy("doc_id") if ordered else out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
-                        max_df: float = 0.2, max_df_abs: int = 64) -> DataFrame:
+                        max_df: float = 0.2, max_df_abs: int = 64,
+                        ordered: bool = False) -> DataFrame:
     """Exact n-gram Jaccard near-dup via an inverted shingle index.
 
     Candidate generation drops shingles whose document frequency exceeds
@@ -288,7 +300,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
             .select("doc_a", "doc_b").distinct())
     fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
+    out = (
         cand.join(fa, "doc_a").join(fb, "doc_b")
         .withColumn(
             "jaccard",
@@ -299,11 +311,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
-def simhash(docs: DataFrame, bits: int = 30) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 30,
+            ordered: bool = False) -> DataFrame:
     """SimHash over word-token rolling hashes: bit_j = sign of
     sum(+1/-1 per token according to bit j of the token hash).
 
@@ -329,4 +342,5 @@ def simhash(docs: DataFrame, bits: int = 30) -> DataFrame:
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return d.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+    out = d.select("doc_id", sim.cast("long").alias("simhash"))
+    return out.orderBy("doc_id") if ordered else out

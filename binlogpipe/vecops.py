@@ -116,13 +116,14 @@ def _banded_buckets(emb: DataFrame, bits: int, bands: int,
 
 
 def _banded_candidates(emb: DataFrame, bits: int, bands: int,
-                       max_bucket: int | None, ordered: bool) -> DataFrame:
-    """Distinct candidate pairs colliding in ANY band. `ordered=True`
+                       max_bucket: int | None,
+                       undirected: bool) -> DataFrame:
+    """Distinct candidate pairs colliding in ANY band. `undirected=True`
     yields (vec_a < vec_b) pairs; False yields directed (a != b) pairs."""
     banded = _banded_buckets(emb, bits, bands, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
-    cond = (F.col("l.vec_id") < F.col("r.vec_id") if ordered
+    cond = (F.col("l.vec_id") < F.col("r.vec_id") if undirected
             else F.col("l.vec_id") != F.col("r.vec_id"))
     return (left.join(right, ["band", "bucket"]).where(cond)
             .select(F.col("l.vec_id").alias("vec_a"),
@@ -142,7 +143,8 @@ def _pair_sim(qv: str, cv: str, nq: str, nc: str) -> str:
     return f"({DOT.format(a=qv, b=cv)}) / ({nq} * {nc})"
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
+def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
+                ordered: bool = False) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for the first `n_queries`
     vectors. The query side is broadcast (tiny), so the scan side streams
     once with no shuffle of the big table."""
@@ -159,16 +161,18 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-        .orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id",
+                F.round("sim", 6).alias("sim"))
     )
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def signbit_lsh_ann(emb: DataFrame, bits: int = 6, k: int = 3,
-                    bands: int = 3, max_bucket: int | None = 64) -> DataFrame:
+                    bands: int = 3, max_bucket: int | None = 64,
+                    ordered: bool = False) -> DataFrame:
     """Banded LSH ANN: candidates = vectors sharing a sign-bit bucket in
     ANY of `bands` independent seeded hyperplane families (`bits` planes
     each), then exact top-k cosine over the distinct candidates.
@@ -186,7 +190,8 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 6, k: int = 3,
     jittered copies recall 30/30 in the test suite). For general top-k
     over weakly-similar corpora use `ivf_ann`, whose probe-list recall is
     gauged by `ivf_recall`."""
-    cand = _banded_candidates(emb, bits, bands, max_bucket, ordered=False)
+    cand = _banded_candidates(emb, bits, bands, max_bucket,
+                              undirected=False)
     v = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
     q = v.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("qv"), F.col("nrm").alias("nq"))
@@ -198,12 +203,13 @@ def signbit_lsh_ann(emb: DataFrame, bits: int = 6, k: int = 3,
                       F.expr(_pair_sim("qv", "cv", "nq", "nc")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-        .orderBy("query_id", "rank")
+        .select("query_id", "rank", "neighbor_id",
+                F.round("sim", 6).alias("sim"))
     )
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 IVF_SAMPLE = 256  # training-sample bound (vec_id < IVF_SAMPLE)
@@ -249,7 +255,8 @@ def _centroid_struct_array(cents: list[list[float]]) -> str:
 
 
 def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
-            n_queries: int = 20, nprobe: int = 2) -> DataFrame:
+            n_queries: int = 20, nprobe: int = 2,
+            ordered: bool = False) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (kmeans_centroids), every vector
     assigned to its nearest centroid (inverted list) in one map-only pass
     over inlined centroid literals, queries probe their `nprobe` nearest
@@ -279,15 +286,16 @@ def ivf_ann(emb: DataFrame, n_centroids: int = 8, k: int = 3,
               .withColumn("sim", F.expr(_pair_sim("qv", "cv", "nq", "nc"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id",
-                    F.round("sim", 6).alias("sim"))
-            .orderBy("query_id", "rank"))
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .where(F.col("rank") <= k)
+           .select("query_id", "rank", "neighbor_id",
+                   F.round("sim", 6).alias("sim")))
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def ivf_recall(emb: DataFrame, n_centroids: int = 8, k: int = 3,
-               n_queries: int = 20, nprobe: int = 2) -> DataFrame:
+               n_queries: int = 20, nprobe: int = 2,
+               ordered: bool = False) -> DataFrame:
     """recall@k of ivf_ann against the exact brute-force top-k: per query,
     |approx ∩ exact| / k. The quality gauge the round-1 IVF lacked."""
     exact = cosine_topk(emb, k, n_queries).select(
@@ -297,17 +305,18 @@ def ivf_recall(emb: DataFrame, n_centroids: int = 8, k: int = 3,
     hits = (exact.join(approx, ["query_id", "nid"])
             .groupBy("query_id").agg(F.count("*").alias("n_hits")))
     qs = exact.select("query_id").distinct()
-    return (qs.join(hits, "query_id", "left")
-            .select("query_id",
-                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-                    F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6)
-                    .alias("recall"))
-            .orderBy("query_id"))
+    out = (qs.join(hits, "query_id", "left")
+           .select("query_id",
+                   F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                   F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6)
+                   .alias("recall")))
+    return out.orderBy("query_id") if ordered else out
 
 
 def cosine_neardup_clusters(emb: DataFrame, threshold: float = 0.9,
                             bits: int = 6, bands: int = 3,
-                            max_bucket: int | None = 64) -> DataFrame:
+                            max_bucket: int | None = 64,
+                            ordered: bool = False) -> DataFrame:
     """Embedding near-dup output in O(n) instead of O(n + pairs): every
     vector maps to a representative — the smallest vec_id among its
     verified near-dup neighbors (or itself). Same one-hop-min
@@ -316,31 +325,35 @@ def cosine_neardup_clusters(emb: DataFrame, threshold: float = 0.9,
     cluster is quadratic and this isn't."""
     pairs = cosine_neardup_pairs(emb, threshold, bits, bands, max_bucket)
     best = pairs.groupBy("vec_b").agg(F.min("vec_a").alias("rep_min"))
-    return (emb.select("vec_id")
-            .join(best, emb["vec_id"] == best["vec_b"], "left")
-            .select("vec_id",
-                    F.coalesce(F.col("rep_min"), F.col("vec_id")).alias("rep_id"))
-            .withColumn("is_rep", (F.col("rep_id") == F.col("vec_id")).cast("int"))
-            .orderBy("vec_id"))
+    out = (emb.select("vec_id")
+           .join(best, emb["vec_id"] == best["vec_b"], "left")
+           .select("vec_id",
+                   F.coalesce(F.col("rep_min"), F.col("vec_id")).alias("rep_id"))
+           .withColumn("is_rep",
+                       (F.col("rep_id") == F.col("vec_id")).cast("int")))
+    return out.orderBy("vec_id") if ordered else out
 
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                          bits: int = 6, bands: int = 3,
-                         max_bucket: int | None = 64) -> DataFrame:
+                         max_bucket: int | None = 64,
+                         ordered: bool = False) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-bit LSH: candidate
     pairs collide in any of `bands` hash families (bucket-capped, see
     _banded_buckets), then the exact cosine filters at `threshold` —
     precision is exact, the banding only bounds which pairs get scored."""
-    cand = _banded_candidates(emb, bits, bands, max_bucket, ordered=True)
+    cand = _banded_candidates(emb, bits, bands, max_bucket,
+                              undirected=True)
     v = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
     a = v.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     b = v.select(F.col("vec_id").alias("vec_b"),
                  F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
-    return (
+    out = (
         cand.join(a, "vec_a").join(b, "vec_b")
-        .withColumn("sim", F.round(F.expr(_pair_sim("va", "vb", "na", "nb")), 6))
+        .withColumn("sim",
+                    F.round(F.expr(_pair_sim("va", "vb", "na", "nb")), 6))
         .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
-        .orderBy("vec_a", "vec_b")
     )
+    return out.orderBy("vec_a", "vec_b") if ordered else out

@@ -120,3 +120,52 @@ def test_neardup_candidate_generation_has_no_cross_join(spark):
     for name in ("minhash_pairs", "lsh_ann", "cosine_neardup"):
         assert "BroadcastNestedLoopJoin" not in plans[name], (
             name, plans[name])
+
+
+def test_engine_defaults_emit_no_global_sort(spark):
+    """Scale-API contract (round-3 verdict item 3): with default arguments
+    every training-data engine function must produce a physical plan with
+    NO global sort — the orderBy tails exist only for oracle determinism
+    (ordered=True, used by __spark_entry__). A total sort on a 100 TB
+    output is a full range-partitioning shuffle paid for display order."""
+    from binlogpipe import multimodal, textops, vecops
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words", "s") for i in range(8)],
+        "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0] * 16) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    media = multimodal.synth_media_df(
+        docs.withColumn("n_chars", F.length("text")))
+
+    engine_outputs = {
+        "fingerprint": textops.fingerprint(docs),
+        "exact_dedup": textops.exact_dedup(docs),
+        "token_stats": textops.token_stats(docs),
+        "quality": textops.quality(docs),
+        "langid": textops.langid(docs),
+        "simhash": textops.simhash(docs),
+        "minhash_signature": textops.minhash_signature(docs),
+        "minhash_lsh_pairs": textops.minhash_lsh_pairs(docs),
+        "minhash_lsh_clusters": textops.minhash_lsh_clusters(docs),
+        "ngram_jaccard_pairs": textops.ngram_jaccard_pairs(docs),
+        "cosine_topk": vecops.cosine_topk(emb, k=1, n_queries=2),
+        "signbit_lsh_ann": vecops.signbit_lsh_ann(emb, k=1),
+        "ivf_ann": vecops.ivf_ann(emb, n_centroids=2, n_queries=2),
+        "ivf_recall": vecops.ivf_recall(emb, n_centroids=2, n_queries=2),
+        "cosine_neardup_pairs": vecops.cosine_neardup_pairs(emb),
+        "cosine_neardup_clusters": vecops.cosine_neardup_clusters(emb),
+        "feature_extract": multimodal.feature_extract(media),
+    }
+    def global_sorts(plan: str) -> list[str]:
+        # physical Sort prints as "Sort [keys], <global>, 0"; window
+        # functions legitimately sort WITHIN partitions (global=false)
+        return [ln for ln in plan.splitlines()
+                if "Sort [" in ln and "], true, 0" in ln
+                or "rangepartitioning" in ln]
+
+    for name, df in engine_outputs.items():
+        assert not global_sorts(_plan(df)), (name, _plan(df))
+    # and the sorted variant still sorts (oracle mode unchanged)
+    assert global_sorts(_plan(textops.fingerprint(docs, ordered=True)))
