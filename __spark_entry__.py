@@ -174,7 +174,47 @@ def _rare_decoded(spark: SparkSession, sink: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_bl_sink_counts(spark, sf_dir):
-    return agg.sink_counts(_fixture_df(spark))
+    """Per-sink dispatch counts over BOTH event tables (reference fixture
+    + committed rare-event synthetic), discriminated by `tbl` — the former
+    bl_rare_counts row folded in to free a driver slot (the driver records
+    at most 50 queries; the freed slot carries bl_stream_counts)."""
+    fx = agg.sink_counts(_fixture_df(spark)).withColumn(
+        "tbl", F.lit("fixture"))
+    rr = agg.sink_counts(_rare_df(spark)).withColumn("tbl", F.lit("rare"))
+    return fx.unionByName(rr).select("tbl", "sink", "n").orderBy("tbl", "sink")
+
+
+def q_bl_stream_counts(spark, sf_dir):
+    """Streaming DAG coverage with a hard driver signal (round-3 verdict
+    item 2): drain the fixture table through the incremental full
+    streaming DAG (streaming.run_full_available_now — the Spark analog of
+    the reference's live-replication entry point,
+    crates/old/src/connection.rs:41-80) into a fresh temp dir, then count
+    the rows in each per-sink typed decode output (sinks/<sink>/batch=*).
+    Trigger.AvailableNow drains everything, so the counts must equal the
+    batch per-sink goldens — the oracle is the same dispatch-CASE
+    aggregation DuckDB runs directly on the input table."""
+    import shutil
+    import tempfile
+
+    from binlogpipe import streaming
+
+    tmp = Path(tempfile.mkdtemp(prefix="bl_stream_counts_"))
+    try:
+        ind = tmp / "in"
+        ind.mkdir()
+        shutil.copy(FIXTURE, ind / "part-0.parquet")
+        streaming.run_full_available_now(
+            spark, str(ind), str(tmp / "out"), str(tmp / "ck"))
+        sinks_root = tmp / "out" / "sinks"
+        counts = [(d.name, spark.read.parquet(str(d)).count())
+                  for d in sorted(sinks_root.iterdir()) if d.is_dir()]
+    finally:
+        # the counts are already materialized driver-side; the returned
+        # DataFrame holds literals, not file references
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (spark.createDataFrame(counts, "sink string, n long")
+            .orderBy("sink"))
 
 
 def q_bl_header_decode(spark, sf_dir):
@@ -592,12 +632,6 @@ def q_bl_rows_decode(spark, sf_dir):
 
 # --- rare-event suite (committed synthetic table, tools/fixture_gen) -------
 
-def q_bl_rare_counts(spark, sf_dir):
-    """Dispatch coverage for Stop/Slave/Heartbeat + the Load/file-ops
-    family (none appear in the reference fixtures)."""
-    return agg.sink_counts(_rare_df(spark))
-
-
 def q_bl_rare_file_ops(spark, sf_dir):
     """CreateFile/AppendBlock (parse_file_data) + ExecLoad/DeleteFile
     (u16 file_id) — mod.rs:663-718 — over the synthetic rare-event table,
@@ -791,7 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": q_emb_ivf_ann,
         "emb_ivf_recall": q_emb_ivf_recall,
         "emb_neardup": q_emb_neardup,
-        "bl_rare_counts": q_bl_rare_counts,
+        "bl_stream_counts": q_bl_stream_counts,
         "bl_rare_file_ops": q_bl_rare_file_ops,
         "bl_rare_incident": q_bl_rare_incident,
         "bl_rare_load": q_bl_rare_load,
@@ -808,6 +842,18 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
 
     out["bl_sink_counts"] = (
+        f"SELECT * FROM ("
+        f"SELECT 'fixture' AS tbl, {sink} AS sink, count(*) AS n FROM {FX} "
+        f"GROUP BY 2 "
+        f"UNION ALL "
+        f"SELECT 'rare' AS tbl, {sink} AS sink, count(*) AS n FROM {RFX} "
+        f"GROUP BY 2"
+        f") ORDER BY tbl, sink"
+    )
+
+    # the stream drains the whole fixture table (AvailableNow), so its
+    # per-sink typed-output counts must equal the batch dispatch counts
+    out["bl_stream_counts"] = (
         f"SELECT {sink} AS sink, count(*) AS n FROM {FX} "
         f"GROUP BY 1 ORDER BY sink"
     )
@@ -1383,11 +1429,6 @@ GROUP BY doc_id ORDER BY doc_id
     )
 
     # ---- rare-event suite (committed synthetic table) ----
-    out["bl_rare_counts"] = (
-        f"SELECT {sink} AS sink, count(*) AS n "
-        f"FROM {RFX} GROUP BY 1 ORDER BY sink"
-    )
-
     out["bl_rare_file_ops"] = (
         f"SELECT doc_id, "
         f"CASE tokens[5] WHEN 8 THEN 'CREATE_FILE' WHEN 9 THEN 'APPEND_BLOCK' "
