@@ -129,12 +129,20 @@ def run_pipeline(
     sink_format: str = "parquet",
     iceberg_prefix: str = "local.binlog",
     input_format: str = "parquet",
+    fuse_hot_decode: bool = False,
 ) -> dict:
     """Execute the full DAG. Returns a metrics dict (also persisted).
 
     ``sink_format="iceberg"`` routes the routed table and every typed sink
     through `write_output`'s Iceberg path as ``<iceberg_prefix>.<name>``
-    tables (requires a configured catalog; see write_output)."""
+    tables (requires a configured catalog; see write_output).
+
+    ``fuse_hot_decode=True`` decodes the hot sinks (parse.FUSED_PREFIX:
+    QUERY + GTID/ANON_GTID, ~42% of rows) inside the route-stage UDF and
+    carries the typed columns through the shuffle, so those rows cross the
+    JVM<->Python bridge ONCE; their decode stage becomes a JVM-only column
+    selection. A/B-measured against the two-crossing default — see
+    BENCH/BASELINE.md appendix for the verdict at both core counts."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     ck = Checkpoint(out_dir, run_id)
@@ -159,8 +167,18 @@ def run_pipeline(
         # mapInArrow pack variant (parse.pack_tokens_arrow) is 74s in ANY
         # position — full-row Arrow round-trip — so the pandas pack on just
         # the tokens column stays.
-        hdr = hdr.withColumn(
-            "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
+        if fuse_hot_decode:
+            # ONE bridge crossing for hot rows: the same UDF position as
+            # the plain pack (directly on the with_header projection — the
+            # plan-shape constraint above applies identically), but the
+            # struct also carries the hot-sink decoded fields
+            hdr = hdr.withColumn(
+                "_pd", parse.pack_and_hot_decode_udf()(
+                    F.col("tokens"), F.col("sink")))
+            hdr = hdr.withColumn("tokens_bin", F.col("_pd.tokens_bin"))
+        else:
+            hdr = hdr.withColumn(
+                "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
         # rows events need their u48 table_id as the enrich join key; the
         # array form is gone downstream of the routed write, so compute it
         # here (JVM expr, mod.rs:1182-1186)
@@ -179,7 +197,13 @@ def run_pipeline(
         obs = lineage.stage_observation("route")
         hdr = lineage.observe_counts(hdr, obs)
         routed_df = route.routed(hdr)
-        write_output(routed_df.select(*ROUTED_COLS), sink_format,
+        routed_cols = list(ROUTED_COLS)
+        if fuse_hot_decode:
+            routed_cols += [
+                F.col(f"_pd.{pref}{f.name}").alias(f"{pref}{f.name}")
+                for pref, schema in parse.FUSED_SCHEMAS.items()
+                for f in schema.fields]
+        write_output(routed_df.select(*routed_cols), sink_format,
                      routed_path, f"{iceberg_prefix}.routed", ("sink",))
         try:
             stage_metrics = {k: (int(v) if v is not None else None)
@@ -311,6 +335,17 @@ def run_pipeline(
                     "d", udf(F.col("tokens_bin"), F.col("columns_type")))
                 dec = dec.select(*base_cols, "tm_schema_name",
                                  "tm_table_name", "d.*")
+            elif fuse_hot_decode and sink in parse.FUSED_PREFIX:
+                # already decoded at route time — JVM-only column
+                # selection, no second bridge crossing
+                pref = parse.FUSED_PREFIX[sink]
+                dec = sink_df.select(
+                    *base_cols,
+                    *[F.col(pref + f.name).alias(f.name)
+                      for f in parse.FUSED_SCHEMAS[pref].fields])
+                if sink == "QUERY":
+                    dec = dec.withColumn(
+                        "statement_kind", parse.statement_kind(F.col("query")))
             elif sink in parse.DECODERS:
                 schema, udf_factory = parse.DECODERS[sink]
                 dec = sink_df.withColumn("d", udf_factory()(F.col("tokens_bin")))

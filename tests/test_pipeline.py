@@ -298,3 +298,24 @@ def test_metrics_failure_does_not_fake_empty_input(
     assert not m.get("empty_input")
     assert "decode" in m["stages"]
     assert m["rows"] == 166
+
+
+def test_fused_hot_decode_outputs_match(spark, fixture_parquet, tmp_path,
+                                        pipeline_out):
+    """fuse_hot_decode=True decodes QUERY/GTID/ANON_GTID at route time
+    (single bridge crossing); their typed sink outputs must be identical
+    to the two-crossing default, and every cold sink must be untouched."""
+    from binlogpipe import job
+
+    out = tmp_path / "out"
+    m = job.run_pipeline(spark, fixture_parquet, str(out), run_id="fused",
+                         fuse_hot_decode=True)
+    assert m["rows"] == 166
+    base = Path(pipeline_out["out"]) / "sinks"
+    for sink in sorted(p.name for p in base.iterdir() if p.is_dir()):
+        a = spark.read.parquet(str(base / sink))
+        b = spark.read.parquet(str(out / "sinks" / sink))
+        assert sorted(a.columns) == sorted(b.columns), sink
+        ka = {r["doc_id"]: r.asDict() for r in a.collect()}
+        kb = {r["doc_id"]: r.asDict() for r in b.collect()}
+        assert ka == kb, sink

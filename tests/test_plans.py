@@ -169,3 +169,29 @@ def test_engine_defaults_emit_no_global_sort(spark):
         assert not global_sorts(_plan(df)), (name, _plan(df))
     # and the sorted variant still sorts (oracle mode unchanged)
     assert global_sorts(_plan(textops.fingerprint(docs, ordered=True)))
+
+
+def test_routed_write_plan_has_single_python_crossing(spark, fixture_parquet):
+    """The FULL routed-write plan (with_header -> pack -> rows_table_id ->
+    lineage stamps -> salted repartition -> routed projection) must contain
+    exactly ONE Python evaluation node — the pack UDF. A second crossing
+    (or a plan shape that re-evaluates the UDF per branch) is the
+    non-scaling term the round-3 scaling analysis identified; the fused
+    single-crossing variant was A/B-measured slower end-to-end (see
+    BENCH/BASELINE.md round-4 appendix) because the decode pool already
+    overlaps hot-sink decode off the critical path."""
+    from binlogpipe import job, layout, route
+
+    hdr = parse.with_header(spark.read.parquet(fixture_parquet))
+    hdr = hdr.withColumn("tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
+    hdr = hdr.withColumn(
+        "rows_table_id",
+        F.when(F.col("sink").isin(*job.ROWS_SINKS + ("TABLE_MAP",)),
+               layout.u48le(F.col("tokens"), 19)))
+    hdr = hdr.withColumn("input_partition", F.spark_partition_id())
+    hdr = hdr.withColumn("input_pos", F.monotonically_increasing_id())
+    routed = route.routed(hdr).select(*job.ROUTED_COLS)
+    plan = _plan(routed)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    for marker in ("BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert marker not in plan, f"{marker} in routed write plan:\n{plan}"
