@@ -217,6 +217,56 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     return timings
 
 
+def prev_bench() -> tuple[str, dict] | None:
+    """Latest committed BENCH_r*.json — the previous round's driver run."""
+    files = sorted(REPO.glob("BENCH_r*.json"))
+    for f in reversed(files):
+        try:
+            j = json.loads(f.read_text())
+            # the driver wraps this script's JSON line under "parsed"
+            j = j.get("parsed", j) if isinstance(j, dict) else None
+            if isinstance(j, dict) and "queries" in j:
+                return f.name, j
+        except Exception:  # noqa: BLE001 — a malformed old artifact must
+            continue        # not kill the bench run
+    return None
+
+
+def delta_table(result: dict) -> str:
+    """Generated r(N) vs r(N-1) per-query delta table (round-2 verdict
+    item 9, round-3 item 6): automated so no hand-quoted cross-window
+    delta can creep in. The table is explicitly labeled CROSS-WINDOW —
+    the previous round ran in a different time window on this shared
+    host, so absolute deltas mix code changes with window drift; the sha2
+    calibration anchor (pure-JVM compute, code-independent) is printed as
+    the window-scale gauge."""
+    prev = prev_bench()
+    if prev is None:
+        return ""
+    name, pj = prev
+    pq_ = pj.get("queries", {})
+    rows = []
+    for q, now in result["queries"].items():
+        if q in pq_ and isinstance(now, (int, float)) and pq_[q]:
+            pct = (now - pq_[q]) / pq_[q] * 100
+            rows.append(f"| {q} | {pq_[q]:.2f}s | {now:.2f}s | {pct:+.0f}% |")
+    anchor = ""
+    try:
+        k = f"wall_{SCALE_HIGH}c"
+        a_prev = pj["calibrations"]["sha2"][k]
+        a_now = result["calibrations"]["sha2"][k]
+        anchor = (f"\nWindow-scale anchor (sha2 chain, {SCALE_HIGH}c, "
+                  f"code-independent): {name} {a_prev}s vs now {a_now}s "
+                  f"(x{a_now / a_prev:.2f}) — deltas inside that band are "
+                  f"window drift, not code.\n")
+    except Exception:  # noqa: BLE001 — older artifacts may lack the probe
+        pass
+    return (f"\n## Delta vs {name} (generated; CROSS-WINDOW — "
+            f"informational only)\n\n"
+            f"| query | {name} | this run | delta |\n|---|---|---|---|\n"
+            + "\n".join(rows) + "\n" + anchor)
+
+
 def main() -> None:
     from tools import fixture_gen
 
@@ -327,7 +377,7 @@ Query timings at sf={sf} ({CPUS} cores, noop-write-forced, sec):
 
 Reference publishes no numbers (BASELINE.md §1); the operative comparison
 is this harness re-run per round (BENCH_r{{N}}.json).
-
+{delta_table(result)}
 {appendix}""")
     print(json.dumps(result))
 
