@@ -78,19 +78,25 @@ def synth_input(sf: float) -> tuple[str, int]:
     return str(path), n
 
 
-def timed_pipeline(spark, input_path: str, out_dir: str, tag: str) -> tuple[float, dict]:
+def timed_pipeline(spark, input_path: str, out_dir: str, tag: str,
+                   **pipeline_kwargs) -> tuple[float, dict]:
     from binlogpipe.job import run_pipeline
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    m = run_pipeline(spark, input_path, out_dir, run_id=tag, resume=False)
+    m = run_pipeline(spark, input_path, out_dir, run_id=tag, resume=False,
+                     **pipeline_kwargs)
     return time.time() - t0, m
 
 
 def run_pipeline_at(cores: int, input_path: str, tag: str,
                     warmup_path: str | None = None,
                     out_base: str = "/tmp/binlogpipe_bench",
-                    n_timed: int = 2) -> dict:
+                    n_timed: int = 2, **pipeline_kwargs) -> dict:
+    """One timed bench cell: session, warm-up protocol, best-of-n timed
+    runs. `pipeline_kwargs` pass through to job.run_pipeline so A/B
+    harnesses (tools/fuse_ab.py) share this exact methodology instead of
+    re-implementing it."""
     from binlogpipe.session import build_spark
 
     out = f"{out_base}/out_{tag}"
@@ -104,10 +110,12 @@ def run_pipeline_at(cores: int, input_path: str, tag: str,
             from binlogpipe.job import run_pipeline
 
             run_pipeline(spark, warmup_path, out + "_warm",
-                         run_id="warm", resume=False, collect_metrics=False)
+                         run_id="warm", resume=False, collect_metrics=False,
+                         **pipeline_kwargs)
         best = None
         for _ in range(n_timed):
-            wall, m = timed_pipeline(spark, input_path, out, f"bench_{tag}")
+            wall, m = timed_pipeline(spark, input_path, out, f"bench_{tag}",
+                                     **pipeline_kwargs)
             m["bench_wall_sec"] = round(wall, 3)
             if best is None or wall < best["bench_wall_sec"]:
                 best = m
@@ -219,7 +227,13 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
 def prev_bench() -> tuple[str, dict] | None:
     """Latest committed BENCH_r*.json — the previous round's driver run."""
-    files = sorted(REPO.glob("BENCH_r*.json"))
+    # numeric sort on the round number: lexicographic puts r10 between
+    # r1 and r2 and would compare round 11 against r9 forever
+    def _round_no(f: Path) -> int:
+        m = re.search(r"r(\d+)", f.name)
+        return int(m.group(1)) if m else -1
+
+    files = sorted(REPO.glob("BENCH_r*.json"), key=_round_no)
     for f in reversed(files):
         try:
             j = json.loads(f.read_text())

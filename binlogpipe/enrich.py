@@ -21,15 +21,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pipeline_table_map_window(table_id_col: str = "table_id"):
+    """THE authoritative latest-wins ordering for the pipeline TableMap
+    dimension: (log_pos desc, doc_id desc) per (source, table_id).
+
+    Both DAGs must use this one window or an exact log_pos collision with
+    differing payloads deterministically picks DIFFERENT winners, silently
+    breaking batch/stream parity: the batch pipeline dedups BEFORE
+    decoding (job.py route stage — payload fields don't exist yet, so the
+    key must come from pre-decode columns), and the streaming snapshot
+    (streaming.run_full_available_now) merges prev-snapshot ∪ batch rows.
+    doc_id is present and unique on both sides, which makes the winner
+    deterministic everywhere."""
+    return Window.partitionBy("source", table_id_col).orderBy(
+        F.col("log_pos").desc(), F.col("doc_id").desc())
+
+
 def latest_table_map_window(*extra_tiebreak):
-    """Shared latest-wins ordering for the TableMap dimension. The batch
-    dim and the streaming snapshot (streaming.run_full_available_now) MUST
-    break log_pos ties identically — same payload-field keys — or an exact
-    log_pos collision with differing payloads deterministically picks
-    DIFFERENT winners in the two DAGs, silently breaking batch/stream
-    parity. Callers may append further tie-breaks (the streaming snapshot
-    adds doc_id desc, reached only when full payload keys tie — where the
-    candidates are identical rows and any winner is the same)."""
+    """Deterministic ordering for build_table_map_dim's standalone use
+    (inputs that may carry duplicated DECODED TableMaps without a doc_id
+    column, e.g. the bl_enrich_dim oracle query): log_pos desc, payload
+    fields as tie-breaks. Inside the pipeline this window is a no-op —
+    both DAGs have already deduped with pipeline_table_map_window, which
+    is the authoritative key (this one exists because doc_id is not part
+    of the dim projection)."""
     return Window.partitionBy("source", "table_id").orderBy(
         F.col("log_pos").desc(), F.col("schema_name"), F.col("table_name"),
         F.col("column_count"), *extra_tiebreak)

@@ -75,6 +75,25 @@ class Checkpoint:
             tmp.replace(self.path)
 
 
+def list_sink_partitions(spark: SparkSession, path: str) -> list[str]:
+    """Names of the `sink=` partition directories under `path`, via the
+    Hadoop FileSystem API — scheme-aware (file://, hdfs://, s3a://), so a
+    driver whose out dir is not POSIX-mounted still discovers sinks from
+    filesystem METADATA instead of either a silent empty listing
+    (driver-local glob) or a full routed-table scan (distinct())."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("sink="):
+            out.append(name[len("sink="):])
+    return out
+
+
 def read_input(spark: SparkSession, input_path: str,
                input_format: str = "parquet") -> DataFrame:
     """Source seam: the pre-tokenized sequence table (parquet, primary) or
@@ -260,11 +279,12 @@ def run_pipeline(
         # dedup BEFORE decoding: keep only the latest TableMap per
         # (source, table_id) — a JVM window over skinny columns — then run
         # the Python dictionary decode on the handful of survivors
-        from pyspark.sql import Window
-
         tm_sink = routed_df.filter(F.col("sink") == "TABLE_MAP")
-        w = Window.partitionBy("source", "rows_table_id").orderBy(
-            F.col("log_pos").desc(), F.col("doc_id").desc())
+        # the authoritative latest-wins key, SHARED with the streaming
+        # snapshot (enrich.pipeline_table_map_window): the winner chosen
+        # here is final — build_table_map_dim's payload tie-break below is
+        # a no-op on the single survivor per (source, table_id)
+        w = enrich.pipeline_table_map_window("rows_table_id")
         latest = (tm_sink.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn"))
         schema, udf_factory = parse.DECODERS["TABLE_MAP"]
@@ -296,8 +316,7 @@ def run_pipeline(
             present = [r["partition"]["sink"] for r in spark.table(
                 f"{iceberg_prefix}.routed.partitions").collect()]
         else:
-            present = [p.name[len("sink="):]
-                       for p in Path(routed_path).glob("sink=*")]
+            present = list_sink_partitions(spark, routed_path)
 
         # hot sinks get full-width decode (they dominate rows: QUERY+GTID
         # alone are 42%); the 4-job pool overlaps the small sinks behind

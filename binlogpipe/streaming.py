@@ -184,7 +184,7 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
     from pathlib import Path
 
     from . import enrich, layout
-    from .job import ROUTED_COLS, ROWS_SINKS
+    from .job import ROUTED_COLS, ROWS_SINKS, list_sink_partitions
 
     out = Path(out_dir)
 
@@ -206,6 +206,11 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
                 for s in sinks_root.iterdir():
                     for p in s.glob("batch=*"):
                         _sh.rmtree(p, ignore_errors=True)
+                    # a sink dir with no surviving batches must disappear
+                    # entirely: "empty directory" breaks whole-directory
+                    # parquet reads where "absent" would not
+                    if s.is_dir() and not any(s.iterdir()):
+                        _sh.rmtree(s, ignore_errors=True)
         hdr = parse.with_header(batch_df)
         hdr = hdr.withColumn(
             "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
@@ -221,12 +226,11 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
             .partitionBy("sink").parquet(routed_batch))
 
         # incremental cumulative dim: previous snapshot ∪ this batch's
-        # decoded TableMaps, latest-wins per (source, table_id). Tie-break
-        # keys MATCH the batch path (enrich.build_table_map_dim: payload
-        # fields after log_pos) so an exact log_pos collision with
-        # differing payloads picks the SAME winner in both DAGs; doc_id is
-        # a final tie-break reached only when full payload keys tie — where
-        # the candidates are identical rows and any winner is the same.
+        # decoded TableMaps, latest-wins per (source, table_id). The
+        # window is THE shared pipeline key (log_pos desc, doc_id desc —
+        # enrich.pipeline_table_map_window), identical to the batch
+        # route-stage pre-decode dedup, so an exact log_pos collision with
+        # differing payloads picks the SAME winner in both DAGs.
         batch_routed = spark.read.option(
             "basePath", str(out / "routed")).parquet(routed_batch)
         schema, factory = parse.DECODERS["TABLE_MAP"]
@@ -243,7 +247,7 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
         if prior:
             prev = spark.read.parquet(str(dim_root / f"v={max(prior)}"))
             cand = prev.unionByName(cand)
-        w = enrich.latest_table_map_window(F.col("doc_id").desc())
+        w = enrich.pipeline_table_map_window()
         snap = (cand.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
         snap_path = str(dim_root / f"v={batch_id}")
@@ -259,9 +263,8 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
 
         # which sinks this batch produced is filesystem metadata (the
         # routed batch write is partitioned by sink) — list the sink=*
-        # directory names instead of re-scanning the batch
-        present = [p.name[len("sink="):]
-                   for p in Path(routed_batch).glob("sink=*")]
+        # directory names (scheme-aware) instead of re-scanning the batch
+        present = list_sink_partitions(spark, routed_batch)
         base_cols = ["doc_id", "n_tok", "source", "timestamp", "event_type",
                      "server_id", "event_size", "log_pos", "flags",
                      "checksum"]

@@ -47,8 +47,8 @@ def test_route_hot_path_is_jvm_only(spark, fixture_parquet):
     counts = hdr.groupBy("sink").count()
     counts.collect()  # finalize the AQE plan so codegen spans are visible
     plan = _plan(counts)
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
-                   "MapInPandas"):
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"):
         assert marker not in plan, f"{marker} in hot path:\n{plan}"
     # "*(n)" prefixes mark whole-stage-codegen spans in the final plan
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
@@ -193,5 +193,6 @@ def test_routed_write_plan_has_single_python_crossing(spark, fixture_parquet):
     routed = route.routed(hdr).select(*job.ROUTED_COLS)
     plan = _plan(routed)
     assert plan.count("ArrowEvalPython") == 1, plan
-    for marker in ("BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+    for marker in ("BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"):
         assert marker not in plan, f"{marker} in routed write plan:\n{plan}"

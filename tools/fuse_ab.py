@@ -6,9 +6,7 @@ comparisons are meaningful). Prints one JSON line."""
 from __future__ import annotations
 
 import json
-import shutil
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -18,32 +16,17 @@ import bench  # noqa: E402
 
 
 def run_once(cores: int, fuse: bool, input_path: str, warm: str) -> dict:
-    from binlogpipe.job import run_pipeline
-    from binlogpipe.session import build_spark
-
+    # exact bench methodology (session, warm-up, timing) — one code path
     tag = f"ab_{cores}_{'fuse' if fuse else 'base'}"
-    out = f"/tmp/binlogpipe_bench/out_{tag}"
-    spark = build_spark(app=tag, cores=cores)
-    try:
-        spark.range(1000).selectExpr("sum(id)").collect()
-        shutil.rmtree(out + "_warm", ignore_errors=True)
-        run_pipeline(spark, warm, out + "_warm", run_id="warm",
-                     resume=False, collect_metrics=False,
-                     fuse_hot_decode=fuse)
-        shutil.rmtree(out, ignore_errors=True)
-        t0 = time.time()
-        m = run_pipeline(spark, input_path, out, run_id=tag, resume=False,
-                         fuse_hot_decode=fuse)
-        wall = time.time() - t0
-        return {"wall": round(wall, 2),
-                "stages": {k: v.get("wall_sec")
-                           for k, v in m["stages"].items()}}
-    finally:
-        spark.stop()
+    m = bench.run_pipeline_at(cores, input_path, tag, warm, n_timed=1,
+                              fuse_hot_decode=fuse)
+    return {"wall": round(m["bench_wall_sec"], 2),
+            "stages": {k: v.get("wall_sec")
+                       for k, v in m["stages"].items()}}
 
 
 def main() -> None:
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    rounds = max(1, int(sys.argv[1])) if len(sys.argv) > 1 else 2
     input_path, n_rows = bench.synth_input(0.1)
     warm = "/tmp/binlogpipe_bench/input_warm.parquet"
     if not Path(warm).exists():
