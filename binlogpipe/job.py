@@ -149,6 +149,7 @@ def run_pipeline(
     iceberg_prefix: str = "local.binlog",
     input_format: str = "parquet",
     fuse_hot_decode: bool = False,
+    decode_width: int | None = None,
 ) -> dict:
     """Execute the full DAG. Returns a metrics dict (also persisted).
 
@@ -318,10 +319,22 @@ def run_pipeline(
         else:
             present = list_sink_partitions(spark, routed_path)
 
-        # hot sinks get full-width decode (they dominate rows: QUERY+GTID
-        # alone are 42%); the 4-job pool overlaps the small sinks behind
-        # them without flooding the executor with Python workers
-        par = spark.sparkContext.defaultParallelism
+        # Per-sink decode width scales with INPUT SIZE, not just cores.
+        # Round-4 interleaved sweeps: at sf0.1 (6M events) width 8-12
+        # beats full 32-wide decode (5.9-6.5s vs 8.0-8.9s — tiny tasks pay
+        # pool_size × cores Python-worker startups), but at sf1.0 (60M)
+        # the SAME cap loses (75.4s vs 64.7s uncapped — tasks are now
+        # CPU-heavy, parallelism wins and startup amortizes). So the width
+        # targets ~750k rows per decode task (both measured optima fall
+        # out: 6M→8, 60M→32), clamped to defaultParallelism; 8-core runs
+        # are unaffected at either scale. `decode_width` overrides.
+        pool_size = max(1, min(6, len(present)))
+        if decode_width:
+            par = decode_width
+        else:
+            par = spark.sparkContext.defaultParallelism
+            if route_rows:  # None after a metrics failure -> full width
+                par = min(par, max(4, int(route_rows) // 750_000))
 
         def decode_one(sink: str) -> None:
             # each write is an independent Spark job; running them from a
@@ -391,7 +404,7 @@ def run_pipeline(
         # thrashes Python workers (17s in the round-1 measurement)
         hot = [s for s in layout.SALT_FACTORS if s in present]
         cold = [s for s in sorted(present) if s not in layout.SALT_FACTORS]
-        with ThreadPoolExecutor(max_workers=max(1, min(6, len(present)))) as pool:
+        with ThreadPoolExecutor(max_workers=pool_size) as pool:
             list(pool.map(decode_one, hot + cold))
         metrics["stages"]["decode"] = {
             "wall_sec": round(time.time() - t0, 3), "sinks": len(present)}
