@@ -46,6 +46,50 @@ ROUTED_COLS = [
 
 ROWS_SINKS = ("WRITE_ROWS_V2", "UPDATE_ROWS_V2", "DELETE_ROWS_V2")
 
+# typed sinks carry decoded fields + this header slice; the raw bytes stay
+# in the routed table (doc_id joins back) — except quarantine/header-only
+# sinks, which keep the payload for reprocessing
+DECODE_BASE_COLS = ["doc_id", "n_tok", "source", "timestamp", "event_type",
+                    "server_id", "event_size", "log_pos", "flags",
+                    "checksum"]
+
+
+def sink_decode_projection(sink: str, sink_df: DataFrame, dim: DataFrame,
+                           fused: bool = False) -> DataFrame:
+    """The typed-sink decode projection for one sink — THE single
+    definition shared by the batch decode stage and the streaming
+    foreachBatch, so the two DAGs' output schemas cannot drift (a round-4
+    review found the streaming copy had silently lost statement_kind)."""
+    base = DECODE_BASE_COLS
+    if sink in ROWS_SINKS:
+        n_images = 2 if sink == "UPDATE_ROWS_V2" else 1
+        sink_df = sink_df.withColumnRenamed("rows_table_id", "table_id")
+        joined = enrich.enrich_rows_events(sink_df, dim)
+        udf = parse.make_rows_udf(n_images)
+        dec = joined.withColumn(
+            "d", udf(F.col("tokens_bin"), F.col("columns_type")))
+        return dec.select(*base, "tm_schema_name", "tm_table_name", "d.*")
+    if fused and sink in parse.FUSED_PREFIX:
+        # already decoded at route time — JVM-only column selection, no
+        # second bridge crossing
+        pref = parse.FUSED_PREFIX[sink]
+        dec = sink_df.select(
+            *base, *[F.col(pref + f.name).alias(f.name)
+                     for f in parse.FUSED_SCHEMAS[pref].fields])
+    elif sink in parse.DECODERS:
+        schema, udf_factory = parse.DECODERS[sink]
+        dec = sink_df.withColumn("d", udf_factory()(F.col("tokens_bin")))
+        dec = dec.select(*base, "d.*")
+    else:
+        return sink_df.select(*base, "tokens_bin")
+    if sink in ("QUERY", "EXEC_LOAD_QUERY"):
+        dec = dec.withColumn(
+            "statement_kind", parse.statement_kind(F.col("query")))
+    elif sink == "ROWS_QUERY":
+        dec = dec.withColumn(
+            "statement_kind", parse.statement_kind(F.col("query_text")))
+    return dec
+
 
 class Checkpoint:
     """Tiny JSON stage ledger; the parquet/Iceberg snapshot is the data
@@ -75,23 +119,54 @@ class Checkpoint:
             tmp.replace(self.path)
 
 
-def list_sink_partitions(spark: SparkSession, path: str) -> list[str]:
-    """Names of the `sink=` partition directories under `path`, via the
-    Hadoop FileSystem API — scheme-aware (file://, hdfs://, s3a://), so a
-    driver whose out dir is not POSIX-mounted still discovers sinks from
-    filesystem METADATA instead of either a silent empty listing
-    (driver-local glob) or a full routed-table scan (distinct())."""
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, Path-class) for `path` via the JVM gateway —
+    scheme-aware (file://, hdfs://, s3a://). Every filesystem-metadata
+    operation the DAGs perform on their OUTPUT tree goes through this, so
+    a driver whose out dir is not POSIX-mounted behaves identically to a
+    local run instead of silently no-opping (driver-local glob/rmtree
+    return empty/do nothing on a scheme'd path)."""
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    cls = jvm.org.apache.hadoop.fs.Path
+    hpath = cls(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, cls
+
+
+def list_partition_dirs(spark: SparkSession, path: str,
+                        prefix: str) -> list[str]:
+    """Child directory names under `path` starting with `prefix`, prefix
+    stripped (prefix '' lists every child directory). Filesystem METADATA
+    only — one directory listing, never a table scan."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return []
     out = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("sink="):
-            out.append(name[len("sink="):])
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(name[len(prefix):])
     return out
+
+
+def list_sink_partitions(spark: SparkSession, path: str) -> list[str]:
+    """The `sink=` partition directory names under a routed table — the
+    distinct sink set without scanning the table."""
+    return list_partition_dirs(spark, path, "sink=")
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursive scheme-aware delete; True if something was removed."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.delete(hpath, True)) if fs.exists(hpath) else False
+
+
+def delete_if_empty(spark: SparkSession, path: str) -> bool:
+    """Remove `path` when it has no children (an empty directory breaks
+    whole-directory parquet reads where an absent one would not)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if fs.exists(hpath) and len(fs.listStatus(hpath)) == 0:
+        return bool(fs.delete(hpath, True))
+    return False
 
 
 def read_input(spark: SparkSession, input_path: str,
@@ -352,45 +427,8 @@ def run_pipeline(
             if sink in layout.SALT_FACTORS:
                 sink_df = sink_df.repartition(par)
             tgt = str(out / "sinks" / sink)
-            # typed sinks carry decoded fields + header; the raw bytes stay
-            # in the routed table (doc_id joins back) — except quarantine /
-            # header-only sinks, which keep the payload for reprocessing
-            base_cols = ["doc_id", "n_tok", "source", "timestamp",
-                         "event_type", "server_id", "event_size", "log_pos",
-                         "flags", "checksum"]
-            if sink in ROWS_SINKS:
-                n_images = 2 if sink == "UPDATE_ROWS_V2" else 1
-                sink_df = sink_df.withColumnRenamed("rows_table_id", "table_id")
-                joined = enrich.enrich_rows_events(sink_df, dim)
-                udf = parse.make_rows_udf(n_images)
-                dec = joined.withColumn(
-                    "d", udf(F.col("tokens_bin"), F.col("columns_type")))
-                dec = dec.select(*base_cols, "tm_schema_name",
-                                 "tm_table_name", "d.*")
-            elif fuse_hot_decode and sink in parse.FUSED_PREFIX:
-                # already decoded at route time — JVM-only column
-                # selection, no second bridge crossing
-                pref = parse.FUSED_PREFIX[sink]
-                dec = sink_df.select(
-                    *base_cols,
-                    *[F.col(pref + f.name).alias(f.name)
-                      for f in parse.FUSED_SCHEMAS[pref].fields])
-                if sink == "QUERY":
-                    dec = dec.withColumn(
-                        "statement_kind", parse.statement_kind(F.col("query")))
-            elif sink in parse.DECODERS:
-                schema, udf_factory = parse.DECODERS[sink]
-                dec = sink_df.withColumn("d", udf_factory()(F.col("tokens_bin")))
-                dec = dec.select(*base_cols, "d.*")
-                if sink in ("QUERY", "EXEC_LOAD_QUERY"):
-                    dec = dec.withColumn(
-                        "statement_kind", parse.statement_kind(F.col("query")))
-                elif sink == "ROWS_QUERY":
-                    dec = dec.withColumn(
-                        "statement_kind",
-                        parse.statement_kind(F.col("query_text")))
-            else:
-                dec = sink_df.select(*base_cols, "tokens_bin")
+            dec = sink_decode_projection(sink, sink_df, dim,
+                                         fused=fuse_hot_decode)
             write_output(dec, sink_format, tgt,
                          f"{iceberg_prefix}.sink_{sink.lower()}")
             ck.mark(f"decode:{sink}")
@@ -441,11 +479,15 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
     """Small-file compaction for a typed sink (the fan-out write makes one
     file per (task, sink); long-running ingestion accumulates small files
     that degrade scan planning at scale). Rewrites the sink at
-    ~target_file_mb per file; idempotent. Returns the new file count."""
-    import shutil as _sh
+    ~target_file_mb per file; idempotent. Returns the new file count.
 
-    src = Path(out_dir) / "sinks" / sink
-    if any(src.glob("batch=*")):
+    All filesystem operations go through the Hadoop FileSystem API, so the
+    streaming-layout guard, size estimate, and rename swap behave
+    identically on hdfs://s3a out dirs — driver-local Path ops silently
+    no-op there (empty glob = guard bypassed, 0-byte size estimate)."""
+    src = f"{str(out_dir).rstrip('/')}/sinks/{sink}"
+    fs, sp, HPath = _hadoop_fs(spark, src)
+    if list_partition_dirs(spark, src, "batch="):
         # streaming sinks are partitioned by micro-batch id; flattening
         # them to root-level files would leave a mixed layout the next
         # stream batch (or replay) corrupts — refuse loudly instead
@@ -453,26 +495,25 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
             f"{src} is a streaming sink (batch=<id> layout); compact_sink "
             f"only supports batch-pipeline sinks — stop the stream and "
             f"compact into a separate consumer table instead")
-    tmp = Path(str(src) + "_compacting")
-    old = Path(str(src) + "_old")
+    tmp, old = HPath(src + "_compacting"), HPath(src + "_old")
     # crash recovery: a leftover swap means a prior compaction died between
     # renames — if the live dir is gone, the _old copy is the good data.
-    if old.exists():
-        if not src.exists():
-            old.rename(src)
+    if fs.exists(old):
+        if not fs.exists(sp):
+            fs.rename(old, sp)
         else:
-            _sh.rmtree(old)
-    if tmp.exists():
-        _sh.rmtree(tmp)
-    size_b = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+            fs.delete(old, True)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    size_b = fs.getContentSummary(sp).getLength()
     n_files = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(str(src))
+    df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
     # swap order keeps a readable copy at every instant: src -> _old,
     # tmp -> src, then drop _old. A crash at any point is recoverable above.
-    src.rename(old)
-    tmp.rename(src)
-    _sh.rmtree(old)
+    fs.rename(sp, old)
+    fs.rename(tmp, sp)
+    fs.delete(old, True)
     return n_files
 
 

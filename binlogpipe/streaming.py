@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import parse, route
-
-INPUT_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string")
+from .binsource import CONTRACT_SCHEMA as INPUT_SCHEMA  # one authoritative
+# contract definition — a hardcoded copy here silently desynchronized the
+# streaming source from the batch splitter on any schema change
 
 
 def read_stream(spark: SparkSession, input_dir: str,
@@ -56,15 +57,29 @@ def routed_stream(stream_df: DataFrame) -> DataFrame:
 
 
 def sink_counts_stream(routed: DataFrame) -> DataFrame:
-    """Running per-sink counts. Event time = the binlog header timestamp;
-    a 1-hour watermark bounds state for late events (the reference has no
-    late-data notion — file order is total — so the watermark only matters
-    for the live-replication analog)."""
+    """Running per-sink counts, consumed in COMPLETE output mode
+    (run_counts_available_now). Honest state note: complete mode ignores
+    watermarks, and a plain (non-windowed) groupBy cannot run in append
+    mode at all — so this operator retains one state row per sink key
+    forever, which is fine because the key space is the fixed ~22-entry
+    sink set. For an unbounded key space use the windowed form below
+    (windowed_sink_counts_stream), where the watermark genuinely expires
+    state."""
+    return routed.groupBy("sink").agg(F.count("*").alias("n"))
+
+
+def windowed_sink_counts_stream(routed: DataFrame,
+                                window: str = "1 minute",
+                                late: str = "1 hour") -> DataFrame:
+    """Per-(event-time window, sink) counts with a real watermark: append
+    output mode emits each window once it is `late` past the watermark and
+    its state is dropped — the bounded-state form for long-running
+    deployments (event time = the binlog header timestamp)."""
     with_ts = routed.withColumn(
         "event_time", F.to_timestamp(F.col("timestamp")))
     return (
-        with_ts.withWatermark("event_time", "1 hour")
-        .groupBy("sink")
+        with_ts.withWatermark("event_time", late)
+        .groupBy(F.window("event_time", window), "sink")
         .agg(F.count("*").alias("n"))
     )
 
@@ -181,12 +196,20 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
     applies global latest-wins — the two agree only under that
     single-TableMap assumption (real replication streams satisfy it per
     binlog file; the fixtures do too)."""
-    from pathlib import Path
-
     from . import enrich, layout
-    from .job import ROUTED_COLS, ROWS_SINKS, list_sink_partitions
+    from .job import (ROUTED_COLS, ROWS_SINKS, delete_if_empty, delete_path,
+                      list_partition_dirs, list_sink_partitions,
+                      sink_decode_projection)
 
-    out = Path(out_dir)
+    # string joins, not pathlib: PurePath collapses the double slash in
+    # scheme URIs (hdfs://nn -> hdfs:/nn); every filesystem-metadata op
+    # below goes through the Hadoop FS helpers so a non-POSIX out dir
+    # behaves exactly like a local one (driver-local glob/rmtree silently
+    # no-op there, which broke dim versioning, retention, and the wipe)
+    out_s = str(out_dir).rstrip("/")
+    routed_root = f"{out_s}/routed"
+    dim_root = f"{out_s}/table_map_dim"
+    sinks_root = f"{out_s}/sinks"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id == 0:
@@ -196,21 +219,18 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
             # rebuild base, and any whole-directory read of routed/ or a
             # sink would mix the old run's batch=* rows with the new run's.
             # Runs BEFORE this batch's own writes (its dirs are batch=0).
-            import shutil as _sh
-            for p in (out / "table_map_dim").glob("v=*"):
-                _sh.rmtree(p, ignore_errors=True)
-            for p in (out / "routed").glob("batch=*"):
-                _sh.rmtree(p, ignore_errors=True)
-            sinks_root = out / "sinks"
-            if sinks_root.is_dir():
-                for s in sinks_root.iterdir():
-                    for p in s.glob("batch=*"):
-                        _sh.rmtree(p, ignore_errors=True)
-                    # a sink dir with no surviving batches must disappear
-                    # entirely: "empty directory" breaks whole-directory
-                    # parquet reads where "absent" would not
-                    if s.is_dir() and not any(s.iterdir()):
-                        _sh.rmtree(s, ignore_errors=True)
+            for v in list_partition_dirs(spark, dim_root, "v="):
+                delete_path(spark, f"{dim_root}/v={v}")
+            for b in list_partition_dirs(spark, routed_root, "batch="):
+                delete_path(spark, f"{routed_root}/batch={b}")
+            for s in list_partition_dirs(spark, sinks_root, ""):
+                for b in list_partition_dirs(spark, f"{sinks_root}/{s}",
+                                             "batch="):
+                    delete_path(spark, f"{sinks_root}/{s}/batch={b}")
+                # a sink dir with no surviving batches must disappear
+                # entirely: "empty directory" breaks whole-directory
+                # parquet reads where "absent" would not
+                delete_if_empty(spark, f"{sinks_root}/{s}")
         hdr = parse.with_header(batch_df)
         hdr = hdr.withColumn(
             "tokens_bin", parse.pack_tokens_udf()(F.col("tokens")))
@@ -221,74 +241,65 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
         hdr = hdr.withColumn("input_partition", F.spark_partition_id())
         hdr = hdr.withColumn("input_pos", F.monotonically_increasing_id())
         hdr = hdr.withColumn("salt", route.salt_expr())
-        routed_batch = str(out / "routed" / f"batch={batch_id}")
+        routed_batch = f"{routed_root}/batch={batch_id}"
         (hdr.select(*ROUTED_COLS).write.mode("overwrite")
             .partitionBy("sink").parquet(routed_batch))
 
-        # incremental cumulative dim: previous snapshot ∪ this batch's
-        # decoded TableMaps, latest-wins per (source, table_id). The
-        # window is THE shared pipeline key (log_pos desc, doc_id desc —
-        # enrich.pipeline_table_map_window), identical to the batch
-        # route-stage pre-decode dedup, so an exact log_pos collision with
-        # differing payloads picks the SAME winner in both DAGs.
+        # Incremental cumulative dim, mirroring the batch pipeline's
+        # build order EXACTLY: (1) latest-wins over RAW TableMaps per
+        # (source, rows_table_id) — the JVM u48 key exists even when the
+        # payload is corrupt; (2) decode only the survivors; (3) a corrupt
+        # winner becomes a TOMBSTONE carried into the cumulative union so
+        # it SHADOWS any older valid entry (the batch DAG's global
+        # latest-wins also yields no dim entry when the newest TableMap is
+        # corrupt — an older TableMap must not resurrect in one DAG and
+        # not the other); (4) tombstones drop after the final window.
         batch_routed = spark.read.option(
-            "basePath", str(out / "routed")).parquet(routed_batch)
+            "basePath", routed_root).parquet(routed_batch)
+        tm_raw = batch_routed.filter(F.col("sink") == "TABLE_MAP")
+        w_raw = enrich.pipeline_table_map_window("rows_table_id")
+        latest_raw = (tm_raw.withColumn("_rn", F.row_number().over(w_raw))
+                      .filter(F.col("_rn") == 1).drop("_rn"))
         schema, factory = parse.DECODERS["TABLE_MAP"]
-        cand = (batch_routed.filter(F.col("sink") == "TABLE_MAP")
-                .withColumn("d", factory()(F.col("tokens_bin")))
-                .select("source", "log_pos", "doc_id", "d.*")
-                .filter(F.col("parse_error").isNull())
-                .select("source", "log_pos", "doc_id", "table_id",
+        cand = (latest_raw.withColumn("d", factory()(F.col("tokens_bin")))
+                .select("source", "log_pos", "doc_id", "rows_table_id",
+                        "d.*")
+                .select("source", "log_pos", "doc_id",
+                        F.coalesce(F.col("table_id"),
+                                   F.col("rows_table_id")).alias("table_id"),
                         "schema_name", "table_name", "column_count",
-                        "columns_type", "null_bits"))
-        dim_root = out / "table_map_dim"
-        prior = [int(p.name[2:]) for p in dim_root.glob("v=*")
-                 if p.name[2:].isdigit() and int(p.name[2:]) < batch_id]
+                        "columns_type", "null_bits", "parse_error"))
+        prior = [int(v) for v in list_partition_dirs(spark, dim_root, "v=")
+                 if v.isdigit() and int(v) < batch_id]
         if prior:
-            prev = spark.read.parquet(str(dim_root / f"v={max(prior)}"))
-            cand = prev.unionByName(cand)
+            prev = spark.read.parquet(f"{dim_root}/v={max(prior)}")
+            # prev snapshots hold only valid rows -> null parse_error
+            cand = cand.unionByName(prev, allowMissingColumns=True)
         w = enrich.pipeline_table_map_window()
         snap = (cand.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-        snap_path = str(dim_root / f"v={batch_id}")
+                .filter(F.col("_rn") == 1).drop("_rn")
+                .filter(F.col("parse_error").isNull()).drop("parse_error"))
+        snap_path = f"{dim_root}/v={batch_id}"
         snap.write.mode("overwrite").parquet(snap_path)
         dim = spark.read.parquet(snap_path).drop("doc_id")
         # retention: a long-running stream would otherwise accumulate one
         # snapshot dir per micro-batch. Keep the current one plus the two
         # newest predecessors — Structured Streaming replays at most the
         # last uncommitted batch, and its rebuild reads only max(v<N).
-        import shutil as _sh
         for k in sorted(prior)[:-2]:
-            _sh.rmtree(dim_root / f"v={k}", ignore_errors=True)
+            delete_path(spark, f"{dim_root}/v={k}")
 
         # which sinks this batch produced is filesystem metadata (the
         # routed batch write is partitioned by sink) — list the sink=*
         # directory names (scheme-aware) instead of re-scanning the batch
         present = list_sink_partitions(spark, routed_batch)
-        base_cols = ["doc_id", "n_tok", "source", "timestamp", "event_type",
-                     "server_id", "event_size", "log_pos", "flags",
-                     "checksum"]
         for sink in sorted(present):
             sink_df = batch_routed.filter(F.col("sink") == sink)
-            if sink in ROWS_SINKS:
-                n_images = 2 if sink == "UPDATE_ROWS_V2" else 1
-                sink_df = sink_df.withColumnRenamed("rows_table_id",
-                                                    "table_id")
-                joined = enrich.enrich_rows_events(sink_df, dim)
-                dec = joined.withColumn(
-                    "d", parse.make_rows_udf(n_images)(
-                        F.col("tokens_bin"), F.col("columns_type")))
-                dec = dec.select(*base_cols, "tm_schema_name",
-                                 "tm_table_name", "d.*")
-            elif sink in parse.DECODERS:
-                schema, factory = parse.DECODERS[sink]
-                dec = sink_df.withColumn(
-                    "d", factory()(F.col("tokens_bin")))
-                dec = dec.select(*base_cols, "d.*")
-            else:
-                dec = sink_df.select(*base_cols, "tokens_bin")
+            # the SHARED projection (job.sink_decode_projection): batch
+            # and stream typed sinks cannot drift in schema or semantics
+            dec = sink_decode_projection(sink, sink_df, dim)
             dec.write.mode("overwrite").parquet(
-                str(out / "sinks" / sink / f"batch={batch_id}"))
+                f"{sinks_root}/{sink}/batch={batch_id}")
 
     q = (read_stream(spark, input_dir, max_files_per_trigger, input_format)
          .writeStream.foreachBatch(process)
@@ -300,7 +311,19 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
 
 def run_counts_available_now(spark: SparkSession, input_dir: str,
                              checkpoint_dir: str) -> dict[str, int]:
-    """Streaming per-sink counts drained to memory, for golden comparison."""
+    """Streaming per-sink counts drained to memory, for golden comparison.
+    Demands a FRESH checkpoint: a re-drain over an existing one processes
+    only new files, and with zero new batches the complete-mode memory
+    sink is registered empty — the {} would read as 'every count is zero'
+    rather than 'unchanged', silently failing any golden comparison."""
+    from pathlib import Path
+
+    commits = Path(checkpoint_dir) / "commits"
+    if commits.is_dir() and any(commits.iterdir()):
+        raise ValueError(
+            f"{checkpoint_dir} has committed batches; golden-comparison "
+            f"counts need a fresh checkpoint (a re-drain would return "
+            f"only new-data counts, or {{}} when nothing is new)")
     counts = sink_counts_stream(routed_stream(read_stream(spark, input_dir)))
     q = (
         counts.writeStream.outputMode("complete")

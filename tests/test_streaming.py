@@ -136,12 +136,17 @@ def test_stream_full_dag_matches_batch(spark, fixture_parquet, tmp_path):
     from binlogpipe.job import run_pipeline
     bout = tmp_path / "full_batch"
     run_pipeline(spark, fixture_parquet, str(bout), run_id="fb")
-    for sink in ("QUERY", "WRITE_ROWS_V2"):
-        s = spark.read.parquet(str(out / "sinks" / sink))
+    for sink in ("QUERY", "WRITE_ROWS_V2", "ROWS_QUERY"):
+        # drop only the micro-batch partition column — everything else
+        # must match exactly
+        s = spark.read.parquet(str(out / "sinks" / sink)).drop("batch")
         b = spark.read.parquet(str(bout / "sinks" / sink))
-        cols = sorted(set(s.columns) & set(b.columns))
-        srows = sorted(map(tuple, s.select(cols).collect()))
-        brows = sorted(map(tuple, b.select(cols).collect()))
+        # FULL schema equality — an intersection compare silently masked
+        # the streaming copy losing statement_kind (round-4 review)
+        assert sorted(s.columns) == sorted(b.columns), sink
+        cols = sorted(b.columns)
+        srows = {r["doc_id"]: r.asDict() for r in s.select(cols).collect()}
+        brows = {r["doc_id"]: r.asDict() for r in b.select(cols).collect()}
         assert srows == brows, sink
 
 
@@ -224,3 +229,74 @@ def test_stream_dim_tiebreak_matches_batch(spark):
     got2 = enrich.build_table_map_dim(
         spark.createDataFrame(dim_rows, dim_cols)).collect()
     assert len(got2) == 1 and got2[0]["schema_name"] == "db_a"
+
+
+def test_corrupt_latest_tablemap_tombstones_in_both_dags(
+        spark, fixture_parquet, tmp_path):
+    """Round-4 review pin: when the NEWEST TableMap for a table is corrupt,
+    both DAGs must agree that the table has no dictionary entry — an older
+    valid TableMap must not resurrect in one DAG and not the other. The
+    streaming snapshot carries corrupt winners as tombstones that shadow
+    the previous snapshot's entry before being dropped."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from binlogpipe import job
+
+    tbl = pq.read_table(fixture_parquet)
+    rows = [r for r in tbl.to_pylist() if r["source"] == "30_write_rows_v2"]
+    assert rows
+    tm = next(r for r in rows if r["tokens"][4] == 0x13)
+    wr = next(r for r in rows if r["tokens"][4] == 0x1E)
+    bad = dict(tm)
+    t = list(tm["tokens"])
+    lp = struct.unpack("<I", bytes(t[13:17]))[0] + 1000
+    t[13:17] = list(struct.pack("<I", lp))  # newest TableMap for the table
+    t[27] = 250  # schema_name length overruns the event -> decode raises
+    bad["tokens"] = t
+    bad["doc_id"] = tm["doc_id"] + "_corrupt"
+    wr2 = dict(wr)
+    wr2["doc_id"] = wr["doc_id"] + "_late"
+    ind = tmp_path / "in"
+    ind.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema),
+                   ind / "a_first.parquet")
+    pq.write_table(pa.Table.from_pylist([bad, wr2], schema=tbl.schema),
+                   ind / "b_second.parquet")
+
+    out = tmp_path / "stream_out"
+    streaming.run_full_available_now(
+        spark, str(ind), str(out), str(tmp_path / "ck"),
+        max_files_per_trigger=1)
+    wr_rows = {r["doc_id"]: r for r in spark.read.parquet(
+        str(out / "sinks" / "WRITE_ROWS_V2")).collect()}
+    # batch 0's rows event decoded before the corrupt TableMap arrived
+    # (documented single-TableMap-per-stream caveat)...
+    assert wr_rows[wr["doc_id"]]["parse_error"] is None
+    # ...but once the corrupt TableMap lands, it SHADOWS the older valid
+    # entry in the cumulative dim instead of letting it resurrect
+    assert wr_rows[wr2["doc_id"]]["parse_error"] is not None
+
+    # batch DAG: global latest-wins picks the corrupt TableMap -> no dim
+    # entry -> every rows event for the table quarantines
+    bout = tmp_path / "bout"
+    job.run_pipeline(spark, str(ind), str(bout), run_id="tomb")
+    bwr = spark.read.parquet(str(bout / "sinks" / "WRITE_ROWS_V2")).collect()
+    assert bwr and all(r["parse_error"] is not None for r in bwr)
+
+
+def test_counts_drain_demands_fresh_checkpoint(spark, fixture_parquet,
+                                               tmp_path):
+    """A re-drain of run_counts_available_now over a committed checkpoint
+    would return {} (zero new batches -> empty complete-mode memory sink),
+    silently reading as all-zero counts — it must refuse instead."""
+    import pytest
+
+    ind = _stage_input(fixture_parquet, tmp_path)
+    ck = tmp_path / "ck_counts"
+    got = streaming.run_counts_available_now(spark, ind, str(ck))
+    assert got == GOLDEN_COUNTS
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        streaming.run_counts_available_now(spark, ind, str(ck))
