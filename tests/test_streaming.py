@@ -300,3 +300,22 @@ def test_counts_drain_demands_fresh_checkpoint(spark, fixture_parquet,
     assert got == GOLDEN_COUNTS
     with pytest.raises(ValueError, match="fresh checkpoint"):
         streaming.run_counts_available_now(spark, ind, str(ck))
+
+
+def test_windowed_counts_append_mode_emits_finalized_windows(
+        spark, fixture_parquet, tmp_path):
+    """The watermarked windowed variant runs in APPEND mode (where the
+    plain running counts cannot) and emits only windows finalized by the
+    watermark — bounded state for long-running deployments."""
+    ind = _stage_input(fixture_parquet, tmp_path)
+    counts = streaming.windowed_sink_counts_stream(
+        streaming.routed_stream(streaming.read_stream(spark, ind)))
+    q = (counts.writeStream.outputMode("append")
+         .format("memory").queryName("win_counts")
+         .option("checkpointLocation", str(tmp_path / "ck_win"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    # fixture event times span >1h, so all but the trailing hour finalize
+    assert rows and sum(r["n"] for r in rows) <= 166
+    assert all(r["n"] > 0 and r["sink"] for r in rows)
