@@ -77,8 +77,11 @@ def _extract_string_sql(a_expr: str, b_expr: str) -> str:
 
 # mirror of the Spark router's validity gate (valid_size AND NOT magic),
 # appended to every per-sink oracle WHERE: a corrupt row the pipeline
-# quarantines must not leak into a typed-sink oracle via its type byte
-_VALID = ("coalesce(n_tok::BIGINT = " + _u(9, 4) + ", FALSE) "
+# quarantines must not leak into a typed-sink oracle via its type byte.
+# valid_size = actual array length matches the embedded event_size AND the
+# n_tok contract column agrees with the array (both conjuncts, like Spark)
+_VALID = ("coalesce(len(tokens)::BIGINT = " + _u(9, 4) + " "
+          "AND n_tok::BIGINT = len(tokens)::BIGINT, FALSE) "
           "AND NOT coalesce(tokens[1]=254 AND tokens[2]=98 "
           "AND tokens[3]=105 AND tokens[4]=110, FALSE)")
 
@@ -91,7 +94,8 @@ def _sink_case_sql() -> str:
         # NULL-safe like Spark's coalesce(valid_size, False): a row too
         # short to even carry an event_size field must compare as INVALID,
         # not fall through a NULL predicate into a typed sink
-        f"(CASE WHEN NOT coalesce(n_tok::BIGINT = {_u(9, 4)}, FALSE) "
+        f"(CASE WHEN NOT coalesce(len(tokens)::BIGINT = {_u(9, 4)} "
+        f"AND n_tok::BIGINT = len(tokens)::BIGINT, FALSE) "
         f"THEN 'QUARANTINE' "
         f"WHEN tokens[1]=254 AND tokens[2]=98 AND tokens[3]=105 AND tokens[4]=110 "
         f"THEN 'QUARANTINE' "
@@ -877,7 +881,9 @@ def oracle_sql() -> dict[str, str]:
     # sum(BIGINT) yields HUGEINT, and the driver hashes typed values.
     out["bl_validate"] = (
         f"SELECT count(*) AS n_total, "
-        f"sum((n_tok::BIGINT = {_u(9, 4)})::BIGINT)::BIGINT AS n_valid_size, "
+        f"sum((len(tokens)::BIGINT = {_u(9, 4)} AND "
+        f"n_tok::BIGINT = len(tokens)::BIGINT)::BIGINT)::BIGINT "
+        f"AS n_valid_size, "
         f"sum((tokens[1]=254 AND tokens[2]=98 AND tokens[3]=105 AND "
         f"tokens[4]=110)::BIGINT)::BIGINT AS n_magic, "
         f"sum(({sink} != 'QUARANTINE')::BIGINT)::BIGINT AS n_routed FROM {FX}"

@@ -131,9 +131,14 @@ def split_stream(files: DataFrame, root: str = "") -> DataFrame:
                        if root_n and (pn.startswith(root_n + "/")
                                       or pn == root_n)
                        else pn.lstrip("/"))
+                if not rel:
+                    # the input path IS this one file (single-file .bin
+                    # run): its basename is the identity — an empty rel
+                    # would make source "" and doc_ids "/<i>"
+                    rel = pn.rsplit("/", 1)[-1]
                 stem = rel[:-4] if rel.endswith(".bin") else rel
-                if stem.endswith("/log") or stem == "log":
-                    stem = stem[:-4] if stem.endswith("/log") else stem
+                if stem.endswith("/log"):
+                    stem = stem[:-4]
                 data = bytes(content)
                 events, err = split_binlog_bytes(data)
                 for i, ev in enumerate(events):

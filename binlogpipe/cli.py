@@ -34,12 +34,18 @@ def cmd_trans(args) -> None:
         resume=not args.no_resume,
         input_format="binlog" if args.binlog else "parquet")
     print(json.dumps(metrics, indent=1))
+    out_s = str(args.out).rstrip("/")
+    # scheme-aware listing (hdfs/s3a out dirs; also absent on empty-input
+    # runs where the pipeline returns before creating sinks/) + delete-
+    # before-write so a resumed invocation doesn't crash on the old dump
+    sinks = sorted(job.list_partition_dirs(spark, f"{out_s}/sinks", ""))
     if args.format == "json":
-        dump_dir = Path(args.out) / "debug_json"
-        for sink_dir in sorted((Path(args.out) / "sinks").iterdir()):
-            df = spark.read.parquet(str(sink_dir))
+        dump_dir = f"{out_s}/debug_json"
+        for sink in sinks:
+            job.delete_path(spark, f"{dump_dir}/{sink}")
+            df = spark.read.parquet(f"{out_s}/sinks/{sink}")
             (df.orderBy("doc_id").toJSON()
-             .saveAsTextFile(str(dump_dir / sink_dir.name)))
+             .saveAsTextFile(f"{dump_dir}/{sink}"))
         print(f"debug JSON dump at {dump_dir}")
     elif args.format == "yaml":
         # cli.rs:126-131,138 analog: per-event YAML debug dump. A mapInPandas
@@ -61,9 +67,10 @@ def cmd_trans(args) -> None:
                                            allow_unicode=True)
                     for rec in recs]})
 
-        dump_dir = Path(args.out) / "debug_yaml"
-        for sink_dir in sorted((Path(args.out) / "sinks").iterdir()):
-            df = spark.read.parquet(str(sink_dir)).orderBy("doc_id")
+        dump_dir = f"{out_s}/debug_yaml"
+        for sink in sinks:
+            job.delete_path(spark, f"{dump_dir}/{sink}")
+            df = spark.read.parquet(f"{out_s}/sinks/{sink}").orderBy("doc_id")
             # binary columns (raw payloads on header-only/quarantine sinks)
             # render as hex — pandas' JSON path refuses bytes
             df = df.select(*[
@@ -71,7 +78,7 @@ def cmd_trans(args) -> None:
                 if f.dataType.typeName() == "binary" else F.col(f.name)
                 for f in df.schema.fields])
             (df.mapInPandas(to_yaml, "y string").rdd.map(lambda r: r["y"])
-             .saveAsTextFile(str(dump_dir / sink_dir.name)))
+             .saveAsTextFile(f"{dump_dir}/{sink}"))
         print(f"debug YAML dump at {dump_dir}")
 
 
@@ -103,11 +110,10 @@ def cmd_stream(args) -> None:
         spark, args.input, args.out, ck,
         max_files_per_trigger=args.max_files_per_trigger,
         input_format="binlog" if args.binlog else "parquet")
-    sink_dir = Path(args.out) / "sinks"
-    # a drain with no new files processes zero micro-batches and never
-    # creates out/sinks — that's a valid no-op invocation, not an error
-    sinks = (sorted(p.name for p in sink_dir.iterdir())
-             if sink_dir.exists() else [])
+    # scheme-aware: a drain with no new files processes zero micro-batches
+    # and never creates out/sinks — a valid no-op invocation, not an error
+    sinks = sorted(job.list_partition_dirs(
+        spark, f"{str(args.out).rstrip('/')}/sinks", ""))
     print(json.dumps({"out": args.out, "checkpoint": ck, "sinks": sinks}))
 
 

@@ -15,6 +15,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from . import layout
 from pyspark.sql import types as T
 
 LINEAGE_SCHEMA = T.StructType([
@@ -43,7 +45,7 @@ def partition_lineage(df: DataFrame) -> DataFrame:
                 first = b["doc_id"].iloc[0]
             last = b["doc_id"].iloc[-1]
             rows_in += len(b)
-            rows_routed += int((b["sink"] != "QUARANTINE").sum())
+            rows_routed += int((b["sink"] != layout.QUARANTINE_SINK).sum())
         yield pd.DataFrame(
             [{
                 "partition_id": pid, "first_doc_id": first,
@@ -68,7 +70,7 @@ def lineage_from_routed(routed_df: DataFrame) -> DataFrame:
             F.min_by("doc_id", "input_pos").alias("first_doc_id"),
             F.max_by("doc_id", "input_pos").alias("last_doc_id"),
             F.count("*").alias("rows_in"),
-            F.sum((F.col("sink") != "QUARANTINE").cast("long")).alias(
+            F.sum((F.col("sink") != layout.QUARANTINE_SINK).cast("long")).alias(
                 "rows_routed"),
         )
         .orderBy("partition_id")

@@ -79,12 +79,15 @@ def int_lenenc(buf: bytes, off: int) -> tuple[int, int]:
     first = buf[off]
     if first <= 0xFA:
         return first, off + 1
+    # payload reads are bounds-checked like the fixed-width readers: a
+    # prefix at the buffer end must FAIL the row (nom take parity), not
+    # silently decode a short slice into a confident wrong value
     if first in (0xFB, 0xFC):
-        return int.from_bytes(buf[off + 1:off + 3], "little"), off + 3
+        return int.from_bytes(_take(buf, off + 1, 2), "little"), off + 3
     if first == 0xFD:
-        return int.from_bytes(buf[off + 1:off + 4], "little"), off + 4
+        return int.from_bytes(_take(buf, off + 1, 3), "little"), off + 4
     if first == 0xFE:
-        return int.from_bytes(buf[off + 1:off + 9], "little"), off + 9
+        return int.from_bytes(_take(buf, off + 1, 8), "little"), off + 9
     raise ValueError("lenenc prefix 0xff is invalid")
 
 

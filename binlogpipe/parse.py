@@ -60,8 +60,17 @@ def with_header(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
         & (F.element_at(tokens, 3) == magic[2])
         & (F.element_at(tokens, 4) == magic[3])
     )
+    # valid_size checks the ACTUAL array length against the embedded
+    # event_size AND that the n_tok contract column agrees: trusting
+    # n_tok alone let a row whose tokens array disagreed with it (corrupt
+    # contract columns) pass validation and decode garbage with a null
+    # parse_error. The DuckDB oracle gate (__spark_entry__._VALID) mirrors
+    # both conjuncts.
     df = (
-        df.withColumn("valid_size", F.col("n_tok").cast("long") == F.col("event_size"))
+        df.withColumn(
+            "valid_size",
+            (F.size(tokens).cast("long") == F.col("event_size"))
+            & (F.col("n_tok").cast("long") == F.size(tokens).cast("long")))
         .withColumn("is_magic", is_magic)
         .withColumn("sink", layout.sink_expr(F.col("event_type")))
     )
@@ -544,9 +553,33 @@ def _prev_gtids_vectorized(tokens: pd.Series):
 # shared sub-decoders
 # ---------------------------------------------------------------------------
 
+def _sv_bytes(buf: bytes, off: int, n: int) -> tuple[bytes, int]:
+    """Bounds-checked slice for status-var string fields: a declared
+    length that overruns the block must FAIL the row (the reference's
+    take(len) fails -> assert_eq!(remain, 0) panics), never silently
+    truncate into a clean-looking row."""
+    end = off + n
+    if end > len(buf):
+        raise ValueError(f"status-var field needs {n} bytes at {off}, "
+                         f"have {len(buf)}")
+    return buf[off:end], end
+
+
+def _sv_string_nul(buf: bytes, off: int) -> tuple[str, int]:
+    """NUL-terminated string that REQUIRES the terminator (the lenient
+    np_codec.string_nul reads to end-of-buffer, which here would silently
+    swallow a truncated Q_UPDATED_DB_NAMES block)."""
+    end = buf.find(b"\x00", off)
+    if end == -1:
+        raise ValueError(f"status-var string at {off} missing NUL")
+    return c.utf8_lossy(buf[off:end]), end + 1
+
+
 def parse_status_vars(buf: bytes) -> list[dict]:
     """Query status-var block (query.rs:75-177), bounded sub-slice with the
-    same exhaustion check (`assert_eq!(remain, 0)`, mod.rs:475-477)."""
+    same exhaustion check (`assert_eq!(remain, 0)`, mod.rs:475-477): every
+    read is bounds-checked, so a truncated block raises (-> parse_error
+    row) instead of exiting the loop early with a partial result."""
     out: list[dict] = []
     off = 0
     while off < len(buf):
@@ -600,14 +633,16 @@ def parse_status_vars(buf: bytes) -> list[dict]:
                         "client": cl, "conn": co, "server": sv})
         elif key == 0x05:
             ln = buf[off]
+            raw, end = _sv_bytes(buf, off + 1, ln)
             out.append({"key": key, "name": "Q_TIME_ZONE_CODE",
-                        "value": c.extract_string(buf[off + 1:off + 1 + ln])})
-            off += 1 + ln
+                        "value": c.extract_string(raw)})
+            off = end
         elif key == 0x06:
             ln = buf[off]
+            raw, end = _sv_bytes(buf, off + 1, ln)
             out.append({"key": key, "name": "Q_CATALOG_NZ_CODE",
-                        "value": c.extract_string(buf[off + 1:off + 1 + ln])})
-            off += 1 + ln
+                        "value": c.extract_string(raw)})
+            off = end
         elif key == 0x07:
             v, off = c.u16(buf, off)
             out.append({"key": key, "name": "Q_LC_TIME_NAMES_CODE", "value": v})
@@ -622,18 +657,18 @@ def parse_status_vars(buf: bytes) -> list[dict]:
             out.append({"key": key, "name": "Q_MASTER_DATA_WRITTEN_CODE", "value": v})
         elif key == 0x0B:
             ln = buf[off]
-            user = c.string_var(buf[off + 1:off + 1 + ln], ln)
-            off += 1 + ln
+            raw, off = _sv_bytes(buf, off + 1, ln)
+            user = c.utf8_lossy(raw)
             ln = buf[off]
-            host = c.string_var(buf[off + 1:off + 1 + ln], ln)
-            off += 1 + ln
+            raw, off = _sv_bytes(buf, off + 1, ln)
+            host = c.utf8_lossy(raw)
             out.append({"key": key, "name": "Q_INVOKERS", "user": user, "host": host})
         elif key == 0x0C:
             count = buf[off]
             off += 1
             names_ = []
             for _ in range(count):
-                s, off = c.string_nul(buf, off)
+                s, off = _sv_string_nul(buf, off)
                 names_.append(s)
             out.append({"key": key, "name": "Q_UPDATED_DB_NAMES", "value": names_})
         elif key == 0x0D:
@@ -858,6 +893,12 @@ def decode_format_desc_py(buf: bytes) -> dict:
     create_timestamp, off = c.u32(buf, off)
     event_header_length = buf[off]; off += 1
     num = len(buf) - H - (2 + 50 + 4 + 1) - 1 - 4
+    if num < 0:
+        # a self-consistent short event would otherwise step the offset
+        # BACKWARDS and read checksum_alg out of the server-version bytes
+        # with a null parse_error (the reference's length arithmetic
+        # underflows u32 and take() fails the row)
+        raise ValueError(f"format_desc event too short ({len(buf)} bytes)")
     supported_types = list(buf[off:off + num])
     off += num
     checksum_alg = buf[off]

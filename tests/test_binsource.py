@@ -169,3 +169,19 @@ def test_uri_scheme_roots_and_collision_free_fallback(spark):
         "path string, content binary")
     rows = binsource.split_stream(files_b, root="/logs/host1").collect()
     assert rows[0].source == "logs/host1x/a"
+
+
+def test_single_file_input_keeps_basename_identity(spark, tmp_path):
+    """`trans --binlog /path/file.bin` (the reference CLI's single-file
+    usage): the input path IS the file, so rel would be empty — the source
+    must fall back to the file's basename, never '' (which made every
+    doc_id '/<i>')."""
+    import struct
+
+    ev = (struct.pack("<IBIII", 1000, 0x03, 1, 23, 4)[:17]
+          + struct.pack("<H", 0) + b"\x12\x34\x56\x78")
+    f = tmp_path / "binlog.000042.bin"
+    f.write_bytes(binsource.MAGIC + ev)
+    rows = binsource.read_binlog_dir(spark, str(f), glob="*").collect()
+    assert rows and rows[0].source == "binlog.000042"
+    assert rows[0].doc_id == "binlog.000042/0"

@@ -59,3 +59,19 @@ def test_parse_defs_varchar_and_quirks():
     # VarChar meta is u16le; Time2 def yields Timestamp2 (mysql.rs:143)
     defs = parse_defs([3, 15, 19], bytes([160, 0, 5]))
     assert defs == [(3, []), (15, [160]), (17, [5])]
+
+
+def test_lenenc_truncated_payload_raises():
+    """A lenenc prefix whose payload overruns the buffer must FAIL (nom
+    take parity), not silently decode a short slice into a wrong value —
+    e.g. a TABLE_MAP truncated right after a 0xFC column-count prefix
+    would otherwise build a clean dim row with column_count 0."""
+    import pytest
+
+    from binlogpipe import np_codec as c
+
+    for buf in (b"\xfc\x01", b"\xfd\x01\x02", b"\xfe" + b"\x01" * 7):
+        with pytest.raises(ValueError):
+            c.int_lenenc(buf, 0)
+    # exact-fit payloads still decode
+    assert c.int_lenenc(b"\xfc\x01\x02", 0) == (0x0201, 3)

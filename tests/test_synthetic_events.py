@@ -266,3 +266,60 @@ def test_decode_cell_overrun_raises():
     ev = make_event(0x1E, p)
     with pytest.raises(ValueError):
         parse.decode_rows_py(ev, [(3, [])], 1)
+
+
+def test_truncated_status_vars_and_short_format_desc_quarantine():
+    """Review pins: a truncated status-vars block (declared string length
+    overrunning the block / missing NUL) and a self-consistent short
+    FORMAT_DESC event must produce parse_error rows, never clean rows with
+    silently-truncated or positionally-wrong fields."""
+    import pytest
+
+    from binlogpipe import parse
+
+    # Q_TIME_ZONE_CODE declaring 10 bytes with 3 present
+    with pytest.raises(ValueError):
+        parse.parse_status_vars(bytes([0x05, 10]) + b"abc")
+    # Q_INVOKERS host truncated
+    with pytest.raises(ValueError):
+        parse.parse_status_vars(bytes([0x0B, 1]) + b"u" + bytes([9]) + b"hh")
+    # Q_UPDATED_DB_NAMES entry missing its NUL terminator
+    with pytest.raises(ValueError):
+        parse.parse_status_vars(bytes([0x0C, 1]) + b"dbname")
+    # intact blocks still parse
+    assert parse.parse_status_vars(
+        bytes([0x05, 3]) + b"UTC")[0]["value"] == "UTC"
+
+    # FORMAT_DESC shorter than its fixed layout: n_tok == event_size so it
+    # passes routing; decode must raise (-> parse_error), not read
+    # checksum_alg out of the server-version bytes
+    short = (b"\x00\x00\x00\x00" + bytes([0x0F]) + b"\x01\x00\x00\x00"
+             + (79).to_bytes(4, "little") + b"\x00\x00\x00\x00" + b"\x00\x00"
+             + b"\x00" * (79 - 19))
+    assert len(short) == 79
+    with pytest.raises(ValueError):
+        parse.decode_format_desc_py(short)
+
+
+def test_inconsistent_n_tok_quarantines(spark):
+    """valid_size must check the ACTUAL array length against event_size
+    AND that n_tok agrees — a row whose n_tok matches the embedded
+    event_size while the array carries extra junk bytes previously passed
+    validation and decoded garbage with a null parse_error."""
+    import struct
+
+    from binlogpipe import parse
+
+    ev = (struct.pack("<IBIII", 1000, 0x03, 1, 23, 4)[:17]
+          + struct.pack("<H", 0) + b"\x12\x34\x56\x78")   # valid 23B STOP
+    junk = list(ev) + [0xAA] * 4                          # array lies
+    rows = [("ok/0", list(ev), 23, "s"),
+            ("bad/0", junk, 23, "s"),                     # n_tok==event_size, array longer
+            ("bad/1", list(ev), 27, "s")]                 # n_tok disagrees with array
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    sinks = {r["doc_id"]: r["sink"]
+             for r in parse.with_header(df).select("doc_id", "sink").collect()}
+    assert sinks["ok/0"] == "STOP"
+    assert sinks["bad/0"] == "QUARANTINE"
+    assert sinks["bad/1"] == "QUARANTINE"
