@@ -142,7 +142,9 @@ _SHINGLE_SQL = (
     f"% {textops.MH_PRIME})))"
 )
 _STOP_SQL = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
-_WS_TOKS_SQL = r"string_split_regex(trim({col}), '\s+')"
+# textops.WS single-backslash form: DuckDB string literals keep
+# backslashes, so RE2 sees the same hex-escape class Java does
+_WS_TOKS_SQL = ("string_split_regex(trim({col}), '" + textops.WS + "+')")
 
 
 # ---------------------------------------------------------------------------
@@ -1246,8 +1248,10 @@ GROUP BY doc_id ORDER BY doc_id
         f"len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard "
         f"FROM cand JOIN s a ON cand.doc_a = a.doc_id "
         f"JOIN s b ON cand.doc_b = b.doc_id "
-        f"WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-        f"len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5) "
+        # filter on the ROUNDED value — the Spark side filters after
+        # F.round(.., 6), so a raw jaccard in [0.5-5e-7, 0.5) must KEEP
+        f"WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5) "
     )
     out["doc_neardup_minhash"] = (
         _lsh_prefix + "SELECT doc_a, doc_b, jaccard FROM pairs "
@@ -1275,8 +1279,8 @@ GROUP BY doc_id ORDER BY doc_id
         f"len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard "
         f"FROM cand JOIN s x ON cand.doc_a = x.doc_id "
         f"JOIN s y ON cand.doc_b = y.doc_id "
-        f"WHERE len(list_intersect(x.sh, y.sh))::DOUBLE / "
-        f"len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6 "
+        f"WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.6 "
         f"ORDER BY doc_a, doc_b"
     )
 

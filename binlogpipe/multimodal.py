@@ -100,8 +100,17 @@ def decode_bmp(payload: bytes) -> tuple[bytes, int, int]:
         raise ValueError(f"unsupported bpp {bpp}")
     habs = abs(h)
     stride = (w * 3 + 3) // 4 * 4
+    # fail loudly on truncated/degenerate payloads (same policy as
+    # decode_bvid): a silently short pixel buffer feeds wrong-but-clean
+    # stats downstream
+    if w <= 0 or habs <= 0:
+        raise ValueError(f"degenerate BMP geometry {w}x{h}")
     rows = [payload[off + y * stride:off + y * stride + w * 3]
             for y in range(habs)]
+    if any(len(r) != w * 3 for r in rows):
+        raise ValueError(
+            f"truncated BMP: {w}x{habs}x24bpp needs "
+            f"{off + (habs - 1) * stride + w * 3} bytes, have {len(payload)}")
     if h < 0:  # top-down storage -> normalize to bottom-up
         rows.reverse()
     return b"".join(rows), w, habs
@@ -122,7 +131,13 @@ def decode_wav(payload: bytes) -> list[int]:
     with wave.open(io.BytesIO(payload), "rb") as f:
         if f.getsampwidth() != 2 or f.getnchannels() != 1:
             raise ValueError("expected PCM16 mono")
-        raw = f.readframes(f.getnframes())
+        n = f.getnframes()
+        raw = f.readframes(n)
+    if len(raw) != n * 2:
+        # the wave module silently returns what's present — a data chunk
+        # shorter than the header's frame count must fail loudly
+        raise ValueError(f"truncated WAV: header claims {n} frames, "
+                         f"data has {len(raw) // 2}")
     return list(struct.unpack(f"<{len(raw) // 2}h", raw))
 
 
@@ -313,6 +328,14 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                     continue
                 try:
                     px, w, h = decode_bmp(bytes(r.payload))
+                    # decode_bmp returns BOTTOM-UP rows (container order);
+                    # the sampling below and encode_bmp both speak
+                    # top-row-first — without this normalization every
+                    # resized image came out vertically flipped
+                    stride0 = w * 3
+                    px = b"".join(
+                        px[(h - 1 - y) * stride0:(h - y) * stride0]
+                        for y in range(h))
                     if w < 4:
                         raise ValueError(
                             f"source width {w} < 4 — cannot produce a "

@@ -39,6 +39,15 @@ MINHASH_ROWS = 4
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+# ONE whitespace definition for BOTH engines: Java's \s includes \x0B
+# (vertical tab) while DuckDB/RE2's does not — a document containing \x0B
+# would tokenize differently per engine and fail oracle parity. The
+# explicit class (hex escapes parse identically in Java and RE2) keeps
+# tokenization engine-independent. WS_SQL doubles the backslashes for
+# embedding inside Spark SQL string literals (which unescape once).
+WS = r"[ \x09\x0a\x0c\x0d]"
+WS_SQL = WS.replace("\\", "\\\\")
+
 
 def _fp_expr(col: str = "text") -> str:
     """Rolling-hash fingerprint as a Spark SQL expression string."""
@@ -73,7 +82,8 @@ def exact_dedup(docs: DataFrame, ordered: bool = False) -> DataFrame:
 # first-char-disjoint (leftmost-first Java regex and leftmost-longest RE2
 # agree): optional-space + letter run | optional-space + digit run |
 # optional-space + symbol run | whitespace run.
-BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+BPE_PATTERN = (r" ?[A-Za-z]+| ?[0-9]+| ?[^ \x09\x0a\x0c\x0dA-Za-z0-9]+"
+               r"|[ \x09\x0a\x0c\x0d]+")
 
 
 def token_stats(docs: DataFrame, ordered: bool = False) -> DataFrame:
@@ -82,7 +92,7 @@ def token_stats(docs: DataFrame, ordered: bool = False) -> DataFrame:
     merge), and chars."""
     out = docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS + "+")).alias("n_ws_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).alias(
             "n_word_tokens"),
         # The pattern goes in as a Column literal, NOT interpolated into an
@@ -101,7 +111,15 @@ def quality(docs: DataFrame, ordered: bool = False) -> DataFrame:
     """Quality scoring: length/punctuation/stopword ratios + a composite.
     Mirrors the usual pretraining-filter heuristics (C4-style)."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    toks = r"split(trim(text), '\\s+')"
+    toks = f"split(trim(text), '{WS_SQL}+')"
+    # the text splits ONCE per row via the single-element-array let-binding
+    # idiom (same as _shingle_expr documents): the naive form inlined the
+    # split into every ratio (up to 4 regex splits per row on the scale
+    # path); identical float ops, so the oracle is unchanged
+    stats = (f"element_at(transform(array({toks}), t -> struct("
+             f"size(filter(t, x -> x IN ({stop_list}))) AS stop_hits, "
+             f"size(t) AS n_toks, "
+             f"size(array_distinct(t)) AS n_distinct)), 1)")
     out = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
@@ -109,14 +127,15 @@ def quality(docs: DataFrame, ordered: bool = False) -> DataFrame:
             F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
             / F.greatest(F.length("text"), F.lit(1)), 6,
         ).alias("punct_ratio"),
-        F.round(
-            F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
-            / F.expr(f"greatest(size({toks}), 1)"), 6,
-        ).alias("stopword_ratio"),
-        F.round(
-            F.expr(f"size(array_distinct({toks}))")
-            / F.expr(f"greatest(size({toks}), 1)"), 6,
-        ).alias("distinct_token_ratio"),
+        F.expr(stats).alias("_ts"),
+    ).select(
+        "doc_id", "n_chars_calc", "punct_ratio",
+        F.round(F.col("_ts.stop_hits")
+                / F.greatest(F.col("_ts.n_toks"), F.lit(1)), 6,
+                ).alias("stopword_ratio"),
+        F.round(F.col("_ts.n_distinct")
+                / F.greatest(F.col("_ts.n_toks"), F.lit(1)), 6,
+                ).alias("distinct_token_ratio"),
     )
     return out.orderBy("doc_id") if ordered else out
 
@@ -126,16 +145,21 @@ def langid(docs: DataFrame, ordered: bool = False) -> DataFrame:
     prediction. (The testdata labels are synthetic; the contract is the
     deterministic score, oracle-matched in SQL.)"""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    toks = r"split(lower(trim(text)), '\\s+')"
-    score = F.round(
-        F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
-        / F.expr(f"greatest(size({toks}), 1)"), 6,
-    )
-    out = docs.select(
-        "doc_id",
-        score.alias("en_score"),
-        F.when(score >= 0.05, "en").otherwise("unknown").alias("lang_pred"),
-    )
+    toks = f"split(lower(trim(text)), '{WS_SQL}+')"
+    # single split + single score evaluation (let-binding idiom; the naive
+    # form split the text twice and evaluated the whole score expression
+    # twice — once for the column, once for the threshold)
+    hits = (f"element_at(transform(array({toks}), t -> struct("
+            f"size(filter(t, x -> x IN ({stop_list}))) AS h, "
+            f"size(t) AS n)), 1)")
+    out = (docs.select("doc_id", F.expr(hits).alias("_h"))
+           .select("doc_id",
+                   F.round(F.col("_h.h")
+                           / F.greatest(F.col("_h.n"), F.lit(1)), 6,
+                           ).alias("en_score"))
+           .select("doc_id", "en_score",
+                   F.when(F.col("en_score") >= 0.05, "en")
+                   .otherwise("unknown").alias("lang_pred")))
     return out.orderBy("doc_id") if ordered else out
 
 
@@ -325,7 +349,7 @@ def simhash(docs: DataFrame, bits: int = 30,
     identical output values, two wasted bit positions. Widening further
     requires a hash modulus above 2^bits on BOTH engines."""
     tok_hash = (
-        r"transform(split(trim(text), '\\s+'), w -> "
+        f"transform(split(trim(text), '{WS_SQL}+'), w -> "
         f"aggregate(transform(split(w, ''), ch -> ascii(ch)), 0L, "
         f"(acc, x) -> (acc * 31 + x) % {FP_MOD}))"
     )

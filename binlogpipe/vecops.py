@@ -233,13 +233,26 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 8,
     rows = (emb.where(F.col("vec_id") < sample).select("vec_id", "embedding")
             .orderBy("vec_id").collect())
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    C = X[:n_centroids].copy()
+    # seed BY vec_id VALUE (vec_id < n_centroids), exactly like the
+    # oracle's c0 CTE — a positional X[:n] seed diverges the moment the id
+    # space is non-contiguous (a filtered table skipping an id below n)
+    C = np.array([r["embedding"] for r in rows
+                  if r["vec_id"] < n_centroids], dtype=np.float64)
+    if len(C) == 0:
+        raise ValueError(
+            f"no seed vectors: the sample has no vec_id < {n_centroids}")
+    k = len(C)
+
+    def _unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        # a zero vector scores cos 0 against everything instead of
+        # poisoning every argmax with NaN
+        return m / np.where(n == 0, 1.0, n)
+
     for _ in range(iters):
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        assign = np.argmax(Xn @ Cn.T, axis=1)  # first max -> lowest cid
+        assign = np.argmax(_unit(X) @ _unit(C).T, axis=1)  # ties -> low cid
         newC = C.copy()
-        for j in range(n_centroids):
+        for j in range(k):
             members = X[assign == j]
             if len(members):
                 newC[j] = members.mean(axis=0)
@@ -334,7 +347,7 @@ def cosine_neardup_clusters(emb: DataFrame, threshold: float = 0.9,
     return out.orderBy("vec_id") if ordered else out
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                          bits: int = 6, bands: int = 3,
                          max_bucket: int | None = 64,
                          ordered: bool = False) -> DataFrame:

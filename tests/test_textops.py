@@ -301,3 +301,54 @@ def test_multimodal_resize_quarantines_bad_rows(spark):
     # non-image: passthrough, payload untouched
     assert out[2]["resize_status"] == "passthrough:kind=audio"
     assert bytes(out[2]["payload"]) == b"\x00" * 8
+
+
+def test_resize_preserves_orientation(spark):
+    """Review pin: decode_bmp returns BOTTOM-UP rows; resize must
+    normalize to top-down before sampling/encoding, or every resized image
+    comes out vertically flipped (and rows sample from wrong offsets)."""
+    # 16x8, white top half / black bottom half (top-row-first input)
+    top = b"\xff" * (16 * 3)
+    bot = b"\x00" * (16 * 3)
+    px = top * 4 + bot * 4
+    bmp = multimodal.encode_bmp(px, 16, 8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(bmp), 16, 8, None)], multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, factor=2).collect()[0]
+    vals, _ = multimodal.decode_real(bytes(out["payload"]), "image")
+    # decode_real returns top-down content: first half white, second black
+    n = len(vals)
+    assert set(vals[:n // 2]) == {255}
+    assert set(vals[n // 2:]) == {0}
+
+
+def test_truncated_media_payloads_fail_loudly():
+    """Review pin: a BMP whose pixel data is cut short (intact header) and
+    a WAV whose data chunk undershoots its frame count must raise, not
+    silently yield fewer values into clean-looking feature rows."""
+    import struct
+
+    import pytest
+
+    px = bytes(range(16 * 2 * 3))
+    good = multimodal.encode_bmp(px, 16, 2)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        multimodal.decode_bmp(good[:70])
+    # degenerate geometry
+    zero_w = good[:18] + struct.pack("<i", 0) + good[22:]
+    with pytest.raises(ValueError, match="degenerate"):
+        multimodal.decode_bmp(zero_w)
+    wav = multimodal.encode_wav([100, -100, 7, 8])
+    with pytest.raises(ValueError, match="truncated WAV"):
+        multimodal.decode_wav(wav[:-3])
+
+
+def test_kmeans_seeds_by_vec_id_value(spark):
+    """Review pin: centroid seeding selects vec_id < n_centroids BY VALUE
+    (like the oracle's c0 CTE), not the first n sample rows — with a
+    non-contiguous id space the two diverge."""
+    rows = [(i, [float(i), 1.0, 0.0, 0.5] * 16)
+            for i in (0, 1, 2, 4, 5, 6, 7, 9)]  # id 3 absent
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = vecops.kmeans_centroids(emb, n_centroids=4)
+    assert len(cents) == 3  # only ids 0,1,2 qualify — same as the oracle
