@@ -276,6 +276,42 @@ def _xid_vectorized(tokens: pd.Series):
     return pd.DataFrame({"xid": _u64_col(m, 19), "parse_error": None})
 
 
+def _intvar_vectorized(tokens: pd.Series):
+    """IntVar event, whole-batch (mod.rs:537-554): type byte + u64. A
+    batch containing any unknown type byte bails to the scalar path,
+    which owns the per-row error semantics."""
+    import numpy as np
+
+    fl = _flat_batch(tokens, H + 9)
+    if fl is None:
+        return None
+    t = fl.flat[fl.offs + H]
+    if not bool(np.isin(t, (0, 1, 2)).all()):
+        return None
+    kinds = np.array(["InvalidIntEvent", "LastInsertIdEvent",
+                      "InsertIdEvent"], dtype=object)
+    return pd.DataFrame({"e_type": kinds[t], "value": fl.u(H + 1, 8),
+                         "parse_error": None})
+
+
+def _rand_vectorized(tokens: pd.Series):
+    """Rand event, whole-batch (mod.rs:773-784): two u64 seeds."""
+    fl = _flat_batch(tokens, H + 16)
+    if fl is None:
+        return None
+    return pd.DataFrame({"seed1": fl.u(H, 8), "seed2": fl.u(H + 8, 8),
+                         "parse_error": None})
+
+
+def _file_id16_vectorized(tokens: pd.Series):
+    """ExecLoad/DeleteFile body, whole-batch (mod.rs:698-718): one u16."""
+    fl = _flat_batch(tokens, H + 2)
+    if fl is None:
+        return None
+    return pd.DataFrame({"file_id": fl.u(H, 2).astype("int32"),
+                         "parse_error": None})
+
+
 # ---------------------------------------------------------------------------
 # flat-batch framework for VARIABLE-length events: one concatenation of the
 # packed-binary batch + an offsets vector (the same layout Arrow uses for
@@ -1401,8 +1437,12 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
     "ROTATE": (ROTATE_SCHEMA,
                lambda: _rowwise(ROTATE_SCHEMA, decode_rotate_py,
                                 _rotate_vectorized)),
-    "INTVAR": (INTVAR_SCHEMA, _simple(INTVAR_SCHEMA, decode_intvar_py)),
-    "RAND": (RAND_SCHEMA, _simple(RAND_SCHEMA, decode_rand_py)),
+    "INTVAR": (INTVAR_SCHEMA,
+               lambda: _rowwise(INTVAR_SCHEMA, decode_intvar_py,
+                                _intvar_vectorized)),
+    "RAND": (RAND_SCHEMA,
+             lambda: _rowwise(RAND_SCHEMA, decode_rand_py,
+                              _rand_vectorized)),
     "USER_VAR": (USER_VAR_SCHEMA,
                  lambda: _rowwise(USER_VAR_SCHEMA, decode_user_var_py,
                                   _user_var_vectorized)),
@@ -1418,9 +1458,11 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
     "APPEND_BLOCK": (FILE_DATA_SCHEMA,
                      _simple(FILE_DATA_SCHEMA, decode_file_data_py)),
     "EXEC_LOAD": (FILE_ID16_SCHEMA,
-                  _simple(FILE_ID16_SCHEMA, decode_file_id16_py)),
+                  lambda: _rowwise(FILE_ID16_SCHEMA, decode_file_id16_py,
+                                   _file_id16_vectorized)),
     "DELETE_FILE": (FILE_ID16_SCHEMA,
-                    _simple(FILE_ID16_SCHEMA, decode_file_id16_py)),
+                    lambda: _rowwise(FILE_ID16_SCHEMA, decode_file_id16_py,
+                                     _file_id16_vectorized)),
     "EXEC_LOAD_QUERY": (EXEC_LOAD_QUERY_SCHEMA,
                         _simple(EXEC_LOAD_QUERY_SCHEMA,
                                 decode_execute_load_query_py)),

@@ -196,3 +196,25 @@ def test_routed_write_plan_has_single_python_crossing(spark, fixture_parquet):
     for marker in ("BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"):
         assert marker not in plan, f"{marker} in routed write plan:\n{plan}"
+
+
+def test_analytic_queries_push_filters_and_prune_columns(spark):
+    """The TPC-H-ish and events queries must push their predicates and
+    column projections into the parquet scan — a scan reading all columns
+    (or filtering post-scan) multiplies I/O at the 100 TB tier."""
+    import __spark_entry__ as entry_mod
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+
+    plan = _plan(qs["tpch_pricing"](spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    # at least one real pushed predicate (the shipdate filter), not just []
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read, read  # projection pruned into the scan
+
+    plan = _plan(qs["ev_minute_rollup"](spark, sf_dir))
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "payload" not in read and "props" not in read, read

@@ -258,3 +258,34 @@ def test_user_var_vectorized_falls_back_on_corrupt_rows():
     exp = _scalar_frame(parse.decode_user_var_py, parse.USER_VAR_SCHEMA,
                         [bad, bad2])
     assert all(e is not None for e in exp["parse_error"])
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.binary(min_size=8, max_size=8)),
+                min_size=1, max_size=8))
+def test_intvar_vectorized_equiv(items):
+    payloads = []
+    for t, v in items:
+        body = bytes([t]) + v
+        payloads.append(_hdr(0x05, H + len(body) + 4) + body + b"\x00" * 4)
+    # type byte 3 is invalid -> whole batch takes the scalar path (None)
+    out = parse._intvar_vectorized(pd.Series(payloads))
+    if any(t == 3 for t, _ in items):
+        assert out is None
+    else:
+        _compare(parse._intvar_vectorized, parse.decode_intvar_py,
+                 parse.INTVAR_SCHEMA, payloads)
+
+
+@given(st.lists(st.binary(min_size=16, max_size=16), min_size=1, max_size=8))
+def test_rand_vectorized_equiv(bodies):
+    payloads = [_hdr(0x0D, H + 16 + 4) + b + b"\x00" * 4 for b in bodies]
+    _compare(parse._rand_vectorized, parse.decode_rand_py,
+             parse.RAND_SCHEMA, payloads)
+
+
+@given(st.lists(st.binary(min_size=2, max_size=10), min_size=1, max_size=8))
+def test_file_id16_vectorized_equiv(bodies):
+    payloads = [_hdr(0x0A, H + len(b) + 4) + b + b"\x00" * 4 for b in bodies]
+    _compare(parse._file_id16_vectorized, parse.decode_file_id16_py,
+             parse.FILE_ID16_SCHEMA, payloads)
