@@ -327,7 +327,7 @@ def main() -> None:
     # N->4N adds controllers and pipes with the cores)
     n4_pair = scaling_pair(input_path, str(warm_path), n_rows,
                            "/tmp/binlogpipe_bench", "sc_n4_",
-                           low=1, high=4, rounds=1)
+                           low=1, high=4, rounds=2)
 
     calib = calibrations()
     query_secs = run_queries(SF_DIR, CPUS)
