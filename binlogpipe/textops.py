@@ -226,6 +226,19 @@ def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
     ])
     banded = sig.select(
         "doc_id", F.posexplode(keys).alias("band", "band_key"))
+    # EXPLICIT hash exchange on the join/groupBy keys: `banded` feeds
+    # three consumers (the bucket-size aggregate and both self-join
+    # sides), and without an exchange boundary each consumer re-evaluates
+    # the whole shingle+signature subtree — measured 10.9s -> 15.3s on the
+    # sf0.1 bench when round 4's sort-free refactor removed the orderBy
+    # exchange that round 3 incidentally reused. This one is purposeful:
+    # it materializes the signatures once AND pre-partitions on exactly
+    # the keys the aggregate and join shuffle on (no extra exchange
+    # downstream). Explicit width: AQE coalesces bare repartition(cols)
+    # to ~4 tasks (advisory 64MB) — keep the session's shuffle width.
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                           "200"))
+    banded = banded.repartition(width, "band", "band_key")
     sizes = (banded.groupBy("band", "band_key")
              .agg(F.count("*").alias("_bsz"))
              .where(F.col("_bsz") <= max_bucket)

@@ -106,6 +106,12 @@ def _banded_buckets(emb: DataFrame, bits: int, bands: int,
         for b in range(bands)])
     banded = emb.select(
         "vec_id", F.posexplode(keys).alias("band", "bucket"))
+    # NO materializing exchange here, unlike textops._lsh_banded: the
+    # banded subtree feeds three consumers, but recomputing the sign-bit
+    # plane dots (18 fixed 64-dim products) is CHEAPER than shuffling the
+    # banded rows — A/B same-window at sf0.1: emb_neardup 3.5s without vs
+    # 3.8s with, emb_lsh_ann 3.2s vs 3.8s. The textops twin keeps the
+    # exchange because its shingle+minhash subtree is expensive to repeat.
     if max_bucket is None:
         return banded
     ok = (banded.groupBy("band", "bucket")
