@@ -370,7 +370,10 @@ def q_bl_source_type_stats(spark, sf_dir):
 
 def q_bl_desc_report(spark, sf_dir):
     df = _fixture_df(spark)
-    fd = _decoded(spark, "FORMAT_DESC").select(
+    # decoded rows only: a structurally-valid but undecodable FD (len<81)
+    # must not win the first-FD window; the oracle mirrors with n_tok>=81
+    fd = _decoded(spark, "FORMAT_DESC").filter(
+        F.col("d.parse_error").isNull()).select(
         "source", "log_pos",
         F.col("d.binlog_version").cast("long").alias("binlog_version"),
         F.col("d.mysql_server_version").alias("mysql_server_version"),
@@ -1075,8 +1078,10 @@ GROUP BY doc_id ORDER BY doc_id
         f"fd AS (SELECT source, {_u(19, 2)} AS binlog_version, "
         f"{_extract_string_sql('22', '71')} AS mysql_server_version, "
         f"{_u(71, 4)} AS create_timestamp, "
-        f"row_number() OVER (PARTITION BY source ORDER BY {_u(13, 4)}) AS rn "
-        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 15) "
+        f"row_number() OVER (PARTITION BY source ORDER BY {_u(13, 4)}, "
+        f"{_u(19, 2)}, {_extract_string_sql('22', '71')}, {_u(71, 4)}) AS rn "
+        f"FROM {FX} WHERE {_VALID} AND tokens[5] = 15 "
+        f"AND n_tok::BIGINT >= 81) "
         f"SELECT t.source, t.n_events, fd.binlog_version, "
         f"fd.mysql_server_version, fd.create_timestamp FROM t "
         f"LEFT JOIN fd ON t.source = fd.source AND fd.rn = 1 ORDER BY t.source"
@@ -1432,7 +1437,8 @@ GROUP BY doc_id ORDER BY doc_id
         f"schema_name, {_chrcat(f'{tno} + 1', f'{tno} + {tnl}')} AS table_name, "
         f"{cc} AS column_count FROM {FX} WHERE {_VALID} AND tokens[5] = 19), "
         f"dedup AS (SELECT *, row_number() OVER (PARTITION BY source, table_id "
-        f"ORDER BY log_pos DESC) AS rn FROM tm) "
+        f"ORDER BY log_pos DESC, schema_name, table_name, column_count) "
+        f"AS rn FROM tm) "
         f"SELECT source, table_id, schema_name, table_name, column_count, "
         f"column_count AS n_column_defs FROM dedup WHERE rn = 1 "
         f"ORDER BY source, table_id"

@@ -33,13 +33,21 @@ def source_type_stats(routed_df: DataFrame) -> DataFrame:
 
 def desc_report(routed_df: DataFrame, format_desc_decoded: DataFrame) -> DataFrame:
     """`bcrab desc` analog (cli.rs:143-161): total events + first
-    FormatDesc (by log_pos) per source."""
+    FormatDesc (by log_pos) per source.
+
+    Callers pass DECODED (parse_error-free) FormatDesc rows — a corrupt
+    first FD must not win the window and report null fields while a later
+    valid one exists. Payload fields join the ordering as tie-breaks so a
+    log_pos collision picks a deterministic winner (same approach as the
+    enrich dim; duplicated ingests tie on identical rows, harmless)."""
     totals = routed_df.groupBy("source").agg(F.count("*").alias("n_events"))
     first_fd = (
         format_desc_decoded
         .withColumn(
             "_rn",
-            F.row_number().over(Window.partitionBy("source").orderBy("log_pos")),
+            F.row_number().over(Window.partitionBy("source").orderBy(
+                "log_pos", "binlog_version", "mysql_server_version",
+                "create_timestamp")),
         )
         .filter(F.col("_rn") == 1)
         .select("source", "binlog_version", "mysql_server_version",

@@ -89,9 +89,10 @@ def cmd_desc(args) -> None:
     hdr = parse.with_header(src)
     fd_sink = hdr.filter(F.col("sink") == "FORMAT_DESC")
     _, factory = parse.DECODERS["FORMAT_DESC"]
-    fd = fd_sink.withColumn("d", factory()(F.col("tokens"))).select(
-        "source", "log_pos", "d.binlog_version", "d.mysql_server_version",
-        "d.create_timestamp")
+    fd = (fd_sink.withColumn("d", factory()(F.col("tokens")))
+          .filter(F.col("d.parse_error").isNull())
+          .select("source", "log_pos", "d.binlog_version",
+                  "d.mysql_server_version", "d.create_timestamp"))
     agg.desc_report(hdr, fd).show(100, truncate=False)
 
 

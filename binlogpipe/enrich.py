@@ -37,17 +37,22 @@ def pipeline_table_map_window(table_id_col: str = "table_id"):
         F.col("log_pos").desc(), F.col("doc_id").desc())
 
 
-def latest_table_map_window(*extra_tiebreak):
+def latest_table_map_window():
     """Deterministic ordering for build_table_map_dim's standalone use
     (inputs that may carry duplicated DECODED TableMaps without a doc_id
-    column, e.g. the bl_enrich_dim oracle query): log_pos desc, payload
-    fields as tie-breaks. Inside the pipeline this window is a no-op —
-    both DAGs have already deduped with pipeline_table_map_window, which
-    is the authoritative key (this one exists because doc_id is not part
-    of the dim projection)."""
+    column, e.g. the bl_enrich_dim oracle query): log_pos desc, then the
+    FULL payload as tie-breaks — the JSON rendering of
+    (columns_type, null_bits) closes the case of rows that tie on every
+    name/count field but differ in column types, which previously left
+    row_number's winner arbitrary per run. The oracle's dedup orders by
+    the name/count keys only, which is parity-safe: candidates still tied
+    there agree on every field the oracle projects. Inside the pipeline
+    this window is a no-op — both DAGs have already deduped with
+    pipeline_table_map_window, the authoritative key."""
     return Window.partitionBy("source", "table_id").orderBy(
         F.col("log_pos").desc(), F.col("schema_name"), F.col("table_name"),
-        F.col("column_count"), *extra_tiebreak)
+        F.col("column_count"),
+        F.to_json(F.struct(F.col("columns_type"), F.col("null_bits"))))
 
 
 def build_table_map_dim(table_map_decoded: DataFrame) -> DataFrame:

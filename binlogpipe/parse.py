@@ -1496,20 +1496,15 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
 # QUERY + GTID/ANON_GTID are ~42% of all rows (BASELINE.md §2) and their
 # second JVM<->Python crossing at decode time is pure bridge traffic
 FUSED_PREFIX = {"QUERY": "q_", "GTID": "g_", "ANON_GTID": "g_"}
-FUSED_SCHEMAS = {"q_": None, "g_": None}  # filled below (schemas defined)
+FUSED_SCHEMAS = {"q_": QUERY_SCHEMA, "g_": GTID_SCHEMA}
 
 
 def _fused_schema() -> T.StructType:
     return T.StructType(
         [T.StructField("tokens_bin", T.BinaryType())]
-        + [T.StructField("q_" + f.name, f.dataType)
-           for f in QUERY_SCHEMA.fields]
-        + [T.StructField("g_" + f.name, f.dataType)
-           for f in GTID_SCHEMA.fields])
-
-
-FUSED_SCHEMAS["q_"] = QUERY_SCHEMA
-FUSED_SCHEMAS["g_"] = GTID_SCHEMA
+        + [T.StructField(pref + f.name, f.dataType)
+           for pref, schema in FUSED_SCHEMAS.items()
+           for f in schema.fields])
 
 
 def pack_and_hot_decode_udf():

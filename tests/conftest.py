@@ -34,12 +34,17 @@ def fixture_parquet():
     never depend on a stale committed artifact."""
     from tools import fixture_gen
 
+    import pyarrow.parquet as pq
+
     rows = fixture_gen.load_fixture_events()
     assert len(rows) == 166
-    if not FIXTURE_PARQUET.exists():
-        import pyarrow.parquet as pq
-
-        pq.write_table(fixture_gen.rows_to_table(rows), FIXTURE_PARQUET)
+    tbl = fixture_gen.rows_to_table(rows)
+    # content-compare, don't just check existence: a committed artifact
+    # that drifted from the reference .bin derivation must be rewritten,
+    # or partial test runs silently go green against stale inputs
+    if (not FIXTURE_PARQUET.exists()
+            or not pq.read_table(FIXTURE_PARQUET).equals(tbl)):
+        pq.write_table(tbl, FIXTURE_PARQUET)
     return str(FIXTURE_PARQUET)
 
 

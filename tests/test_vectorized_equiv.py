@@ -47,7 +47,8 @@ def _compare(vec_fn, scalar_fn, schema, payloads):
     assert out is not None, "vectorized path refused a valid batch"
     exp = _scalar_frame(scalar_fn, schema, payloads)
     for name in exp:
-        got = list(out[name]) if name in out else None
+        assert name in out, f"vectorized output missing column {name!r}"
+        got = list(out[name])
         want = exp[name]
         norm = lambda v: (list(v) if hasattr(v, "__len__")
                           and not isinstance(v, str) else v)  # noqa: E731
