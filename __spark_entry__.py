@@ -129,6 +129,17 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)}) / (({_norm_sql(a)}) * ({_norm_sql(b)}))"
 
 
+def _cos_guard_sql(a: str, b: str) -> str:
+    """Cosine with zero-norms treated as 1 (score 0) — mirrors the
+    k-means TRAINER's _unit guard in vecops.kmeans_centroids exactly (a
+    zero vector must not NaN-poison assignments on either engine). Only
+    the training CTE uses this; post-training assignment/probing divides
+    raw on both engines."""
+    ga = f"(CASE WHEN {_norm_sql(a)} = 0 THEN 1 ELSE {_norm_sql(a)} END)"
+    gb = f"(CASE WHEN {_norm_sql(b)} = 0 THEN 1 ELSE {_norm_sql(b)} END)"
+    return f"({_dot_sql(a, b)}) / ({ga} * {gb})"
+
+
 # shared deterministic hashes (same constants as binlogpipe.textops)
 _FP_SQL = (
     "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({col}, "
@@ -1341,7 +1352,7 @@ GROUP BY doc_id ORDER BY doc_id
     # one (score, assign, mean, round-6dp) block per iteration. Per-iteration
     # 6 dp rounding makes both engines' summation-order FP noise vanish.
     def _kmeans_cte(n_centroids: int, iters: int, sample: int) -> str:
-        cos_xc = _cos_sql("x.ev", "c.cv")
+        cos_xc = _cos_guard_sql("x.ev", "c.cv")
         parts = [
             f"x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) "
             f"AS ev FROM embeddings WHERE vec_id < {sample})",

@@ -232,12 +232,28 @@ def run_pipeline(
     through `write_output`'s Iceberg path as ``<iceberg_prefix>.<name>``
     tables (requires a configured catalog; see write_output).
 
+    The batch pipeline's out_dir must be DRIVER-POSIX (local or a
+    mounted filesystem): the checkpoint ledger and metrics.json are
+    local-file operations and the stage paths join via pathlib, which
+    collapses scheme URIs. A scheme'd out_dir fails loudly here instead
+    of silently writing to a mangled local path; the streaming DAG
+    (streaming.run_full_available_now), compact_sink, and the CLI
+    listings ARE scheme-aware.
+
     ``fuse_hot_decode=True`` decodes the hot sinks (parse.FUSED_PREFIX:
     QUERY + GTID/ANON_GTID, ~42% of rows) inside the route-stage UDF and
     carries the typed columns through the shuffle, so those rows cross the
     JVM<->Python bridge ONCE; their decode stage becomes a JVM-only column
     selection. A/B-measured against the two-crossing default — see
     BENCH/BASELINE.md appendix for the verdict at both core counts."""
+    import re as _re
+
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(out_dir)):
+        raise ValueError(
+            f"run_pipeline out_dir must be a driver-local path, got "
+            f"{out_dir!r} (pathlib would silently mangle the scheme; the "
+            f"checkpoint ledger and metrics are local-file ops). Use the "
+            f"streaming DAG for scheme'd output trees.")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     ck = Checkpoint(out_dir, run_id)
@@ -496,11 +512,21 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
             f"only supports batch-pipeline sinks — stop the stream and "
             f"compact into a separate consumer table instead")
     tmp, old = HPath(src + "_compacting"), HPath(src + "_old")
+
+    def _rename(a, b):
+        # Hadoop FileSystem.rename signals failure by RETURNING False
+        # (permissions, quota, target-exists nesting semantics on HDFS) —
+        # an unchecked call would continue the swap and could nest the
+        # _compacting dir inside the live sink or report success after a
+        # no-op. The pre-Hadoop pathlib rename raised; keep that contract.
+        if not fs.rename(a, b):
+            raise OSError(f"rename failed: {a} -> {b}")
+
     # crash recovery: a leftover swap means a prior compaction died between
     # renames — if the live dir is gone, the _old copy is the good data.
     if fs.exists(old):
         if not fs.exists(sp):
-            fs.rename(old, sp)
+            _rename(old, sp)
         else:
             fs.delete(old, True)
     if fs.exists(tmp):
@@ -511,8 +537,8 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
     df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
     # swap order keeps a readable copy at every instant: src -> _old,
     # tmp -> src, then drop _old. A crash at any point is recoverable above.
-    fs.rename(sp, old)
-    fs.rename(tmp, sp)
+    _rename(sp, old)
+    _rename(tmp, sp)
     fs.delete(old, True)
     return n_files
 

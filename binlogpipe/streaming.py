@@ -316,10 +316,11 @@ def run_counts_available_now(spark: SparkSession, input_dir: str,
     only new files, and with zero new batches the complete-mode memory
     sink is registered empty — the {} would read as 'every count is zero'
     rather than 'unchanged', silently failing any golden comparison."""
-    from pathlib import Path
+    from .job import _hadoop_fs
 
-    commits = Path(checkpoint_dir) / "commits"
-    if commits.is_dir() and any(commits.iterdir()):
+    fs, commits, _ = _hadoop_fs(
+        spark, f"{str(checkpoint_dir).rstrip('/')}/commits")
+    if fs.exists(commits) and len(fs.listStatus(commits)) > 0:
         raise ValueError(
             f"{checkpoint_dir} has committed batches; golden-comparison "
             f"counts need a fresh checkpoint (a re-drain would return "

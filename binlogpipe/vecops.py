@@ -360,7 +360,12 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     """Embedding-cosine near-dup pairs via banded sign-bit LSH: candidate
     pairs collide in any of `bands` hash families (bucket-capped, see
     _banded_buckets), then the exact cosine filters at `threshold` —
-    precision is exact, the banding only bounds which pairs get scored."""
+    precision is exact, the banding only bounds which pairs get scored.
+
+    BEHAVIOR CHANGE (round 4): the default threshold moved 0.35 -> 0.9 to
+    match cosine_neardup_clusters — default calls of the two ops now work
+    in the same similarity regime. Callers wanting the old looser cut
+    pass threshold=0.35 explicitly (the driver query does)."""
     cand = _banded_candidates(emb, bits, bands, max_bucket,
                               undirected=True)
     v = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
