@@ -1621,6 +1621,17 @@ FROM o ORDER BY doc_id
     (CASE WHEN tokens[5] = 31 THEN 2 ELSE 1 END)::BIGINT AS n_images,
     {_x_json} AS extra_data,
     tokens, n_tok"""
+    # ORACLE SCOPE (documented constraints, all satisfied by the committed
+    # fixtures; the Spark engine handles the general cases):
+    # - the recursive-CTE walk assumes PRISTINE row regions — it cannot
+    #   replicate nom many1's keep-prefix-on-garbage-tail semantics
+    #   (parse.decode_rows_py does);
+    # - extra_data rebuild covers <=2 entries and the known format bytes
+    #   with ASCII payloads (json.dumps escaping / >2 entries would need a
+    #   recursive rebuild);
+    # - the _f32/_f64 IEEE-754 reconstruction is exact for FINITE values
+    #   only (all-ones exponents read as huge finite, not Inf/NaN).
+    # Extending the fixtures past any of these requires extending this SQL.
     out["bl_rows_decode"] = f"""
 WITH RECURSIVE ev AS (
   SELECT doc_id, {_x_ev_select}

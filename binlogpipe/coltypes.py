@@ -60,7 +60,16 @@ _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 
 
 def new_decimal_len(precision: int, scale: int) -> int:
-    """Packed-BCD byte length for NewDecimal(p, s) (mysql.rs:216-229)."""
+    """Packed-BCD byte length for NewDecimal(p, s) (mysql.rs:216-229).
+
+    scale > precision is corrupt metadata: Python's floor division on the
+    negative intg would silently yield a small positive length and decode
+    wrong-width cells with no error, desyncing every later column; the
+    reference's u8 subtraction underflows and the row never decodes
+    cleanly there — fail the row instead."""
+    if scale > precision:
+        raise ValueError(
+            f"NewDecimal scale {scale} > precision {precision}")
     intg = precision - scale
     intg0, frac0 = intg // 9, scale // 9
     intg0x, frac0x = intg - intg0 * 9, scale - frac0 * 9

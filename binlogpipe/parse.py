@@ -1356,6 +1356,12 @@ def decode_rows_py(buf: bytes, col_defs: list[tuple[int, list[int]]],
     column_count, off = c.int_lenenc(buf, off)
     encode_len = off - cc_off
     bit_len = (column_count + 7) // 8
+    # nom-take parity: the reference's take(bit_len) fails the event when
+    # the bitmaps overrun, and its u32 col_data length arithmetic
+    # underflows to a huge failing take — a corrupt declared column_count
+    # must not silently truncate the bitmaps into the checksum region
+    if off + bit_len * n_images > len(buf):
+        raise ValueError("image bitmaps overrun event")
     bits1 = list(buf[off:off + bit_len])
     off += bit_len
     bits2 = None
@@ -1365,14 +1371,32 @@ def decode_rows_py(buf: bytes, col_defs: list[tuple[int, list[int]]],
     # col_data length arithmetic (mod.rs:1234-1243 / 1316-1325)
     col_len = (len(buf) - H - 6 - 2 - extra_data_len - encode_len
                - bit_len * n_images - 4)
+    if col_len < 0:
+        raise ValueError("negative col_data length")
     col_data = buf[off:off + col_len]
+    # many1(parse_row) parity (mod.rs:1244-1250): the remainder after the
+    # last COMPLETE row is discarded (`let (_, rows) = many1(...)`), so a
+    # failing tail after >=1 parsed row keeps the prefix and the event
+    # SUCCEEDS; zero parsed rows — including empty col_data — fails the
+    # whole event (many1 requires at least one).
     rows, p = [], 0
     while p < len(col_data):
-        cells, used = decode_row(col_data[p:], bit_len, col_defs)
-        rows.append([{"kind": k, "bytes": b, "num_val": v} for k, b, v in cells])
-        if used == 0:
+        try:
+            # absolute offsets into col_data: re-slicing col_data[p:] per
+            # row copies the shrinking tail — O(rows^2) bytes on a bulk
+            # insert event with thousands of rows
+            cells, end = decode_row(col_data, p + bit_len, col_defs)
+        except Exception:  # noqa: BLE001 — nom many1 prefix semantics
+            if rows:
+                break
+            raise
+        if end <= p:
             raise ValueError("row decode made no progress")
-        p += used
+        rows.append([{"kind": k, "bytes": b, "num_val": v}
+                     for k, b, v in cells])
+        p = end
+    if not rows:
+        raise ValueError("rows event carries no row image (many1 needs >=1)")
     return {
         "table_id": table_id, "end_of_stmt": end_of_stmt,
         "foreign_key_checks": foreign_key_checks,

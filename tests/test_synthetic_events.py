@@ -323,3 +323,45 @@ def test_inconsistent_n_tok_quarantines(spark):
     assert sinks["ok/0"] == "STOP"
     assert sinks["bad/0"] == "QUARANTINE"
     assert sinks["bad/1"] == "QUARANTINE"
+
+
+def test_rows_many1_prefix_and_failure_semantics():
+    """Reference parity pins (mod.rs:1244-1250 `let (_, rows) = many1`):
+    a failing tail AFTER >=1 complete row keeps the parsed prefix and the
+    event succeeds (remainder silently discarded); zero parsable rows —
+    including empty col_data — fails the whole event; corrupt declared
+    column_count cannot silently truncate bitmaps into the checksum."""
+    import pytest
+
+    defs = [(3, [])]  # one Long column -> row = bitmap(1) + 4 bytes
+
+    def rows_event(col_data: bytes, cc: int = 1) -> bytes:
+        p = struct.pack("<IH", 0x0505, 0)[:6]   # u48 table_id
+        p += struct.pack("<H", 1)               # flags
+        p += struct.pack("<H", 2)               # extra_data_len == 2
+        p += bytes([cc])                        # column_count lenenc
+        p += bytes([0x01])                      # image bits1
+        p += col_data
+        return make_event(0x1E, p)
+
+    one_row = bytes([0x00]) + struct.pack("<i", 42)
+    # complete row + 2-byte garbage tail: prefix kept, event clean
+    d = parse.decode_rows_py(rows_event(one_row + b"\xAA\xBB"), defs, 1)
+    assert len(d["rows"]) == 1
+    assert d["rows"][0][0]["bytes"] == [42, 0, 0, 0]
+    # first row already incomplete: many1 needs >=1 -> event fails
+    with pytest.raises(Exception):
+        parse.decode_rows_py(rows_event(b"\x00\x2A"), defs, 1)
+    # empty col_data: zero rows -> event fails
+    with pytest.raises(Exception):
+        parse.decode_rows_py(rows_event(b""), defs, 1)
+    # corrupt column_count (250 -> 32-byte bitmap > event): bitmap
+    # overrun raises instead of truncating into the checksum
+    with pytest.raises(ValueError, match="bitmaps overrun"):
+        parse.decode_rows_py(rows_event(one_row, cc=250), defs, 1)
+
+    # corrupt NewDecimal metadata (scale > precision) fails the row
+    # instead of silently decoding a wrong-width cell
+    from binlogpipe.coltypes import new_decimal_len
+    with pytest.raises(ValueError, match="scale"):
+        new_decimal_len(2, 10)
