@@ -52,10 +52,23 @@ EVENTS_PER_SF = 60_000_000  # sf0.1 -> ~6M events (compute-dominant bench)
 QUERY_NAMES = [
     "doc_exact_dedup", "doc_minhash_sig", "doc_neardup_minhash",
     "doc_neardup_clusters", "doc_neardup_jaccard", "doc_fingerprint",
-    "emb_cosine_topk", "emb_ivf_ann", "emb_lsh_ann", "emb_neardup",
-    "ev_minute_rollup",
-    "ev_sessionize", "tpch_pricing", "tpch_region_revenue",
+    "doc_simhash", "doc_token_stats", "doc_quality", "doc_langid",
+    "emb_cosine_topk", "emb_ivf_ann", "emb_ivf_recall", "emb_lsh_ann",
+    "emb_neardup", "ev_minute_rollup",
+    "ev_sessionize", "ev_top_users", "ev_type_counts",
+    "tpch_pricing", "tpch_region_revenue", "tpch_top_customers",
+    "multimodal_features",
 ]
+
+# untouched-JVM query anchor for cross-round delta normalization: this
+# query's code never changes round-to-round, so its wall measures the
+# WINDOW (shared-host disk/shuffle throughput), not code. The sha2 chain
+# alone was the wrong probe — round 4 showed pure-JVM compute at x0.86
+# while every shuffle-bound query doubled.
+ANCHOR_QUERY = "tpch_pricing"
+# anchor-normalized delta beyond this ratio flags the query for a
+# same-window previous-round-worktree A/B (tools/query_ab.py)
+FLAG_RATIO = 1.3
 
 
 def parse_sf(sf_dir: str) -> float:
@@ -92,15 +105,18 @@ def timed_pipeline(spark, input_path: str, out_dir: str, tag: str,
 def run_pipeline_at(cores: int, input_path: str, tag: str,
                     warmup_path: str | None = None,
                     out_base: str = "/tmp/binlogpipe_bench",
-                    n_timed: int = 2, **pipeline_kwargs) -> dict:
+                    n_timed: int = 2, spark_conf: dict | None = None,
+                    **pipeline_kwargs) -> dict:
     """One timed bench cell: session, warm-up protocol, best-of-n timed
-    runs. `pipeline_kwargs` pass through to job.run_pipeline so A/B
-    harnesses (tools/fuse_ab.py) share this exact methodology instead of
+    runs. `pipeline_kwargs` pass through to job.run_pipeline and
+    `spark_conf` to build_spark, so A/B harnesses (tools/fuse_ab.py,
+    tools/route_profile.py) share this exact methodology instead of
     re-implementing it."""
     from binlogpipe.session import build_spark
 
     out = f"{out_base}/out_{tag}"
-    spark = build_spark(app=f"bench-{tag}", cores=cores)
+    spark = build_spark(app=f"bench-{tag}", cores=cores,
+                        extra_conf=spark_conf)
     try:
         # warm the JVM + Python UDF workers (a small full-pipeline run) so
         # the timed run measures steady-state throughput
@@ -127,33 +143,49 @@ def run_pipeline_at(cores: int, input_path: str, tag: str,
 def scaling_pair(input_path: str, warm_path: str, n_rows: int,
                  out_base: str, label: str,
                  low: int | None = None, high: int | None = None,
-                 rounds: int | None = None) -> dict:
-    """Interleaved N/4N pair (one timed run per level per round, best-of).
+                 rounds: int | None = None, agg: str = "best") -> dict:
+    """Interleaved N/4N pair (one timed run per level per round).
     Defaults to the contract 8/32 pair; callers may pick another N→4N
     instantiation (the 1/4 pair below runs BELOW the single-JVM
-    memory-controller saturation knee)."""
+    memory-controller saturation knee).
+
+    agg="best": best-of-rounds per level (the 8/32 saturation pairs —
+    noise only ever inflates a wall). agg="median": median-of-rounds per
+    level — the 1→4 pair's 1-core wall drifts ±7% across a run on this
+    shared host (round 4: 120-128s vs a stable 38-39s 4-core wall), and
+    best-of lets one lucky-fast HIGH wall pair with an unlucky-slow LOW
+    wall; median pairs like-with-like. All per-round walls are recorded
+    so the drift itself is visible in the artifact."""
     low = low or SCALE_LOW
     high = high or SCALE_HIGH
     rounds = rounds or SCALE_ROUNDS
-    best: dict[int, dict] = {}
+    runs: dict[int, list[dict]] = {low: [], high: []}
     for _ in range(rounds):
         for cores in (low, high):
-            run = run_pipeline_at(cores, input_path, f"{label}{cores}",
-                                  warm_path, out_base, n_timed=1)
-            if cores not in best or run["bench_wall_sec"] < best[cores]["bench_wall_sec"]:
-                best[cores] = run
-    t_low = best[low]["bench_wall_sec"]
-    t_high = best[high]["bench_wall_sec"]
+            runs[cores].append(
+                run_pipeline_at(cores, input_path, f"{label}{cores}",
+                                warm_path, out_base, n_timed=1))
+
+    def _pick(cores: int) -> dict:
+        rs = sorted(runs[cores], key=lambda r: r["bench_wall_sec"])
+        return rs[len(rs) // 2] if agg == "median" else rs[0]
+
+    pick_low, pick_high = _pick(low), _pick(high)
+    t_low = pick_low["bench_wall_sec"]
+    t_high = pick_high["bench_wall_sec"]
     return {
         "cores_low": low, "cores_high": high,
         "wall_low_sec": t_low, "wall_high_sec": t_high,
+        "walls_low": [r["bench_wall_sec"] for r in runs[low]],
+        "walls_high": [r["bench_wall_sec"] for r in runs[high]],
+        "agg": agg,
         "throughput_low": round(n_rows / t_low, 1),
         "throughput_high": round(n_rows / t_high, 1),
         "efficiency": round((t_low / t_high) / (high / low), 3),
         "stages_low": {k: v.get("wall_sec")
-                       for k, v in best[low].get("stages", {}).items()},
+                       for k, v in pick_low.get("stages", {}).items()},
         "stages_high": {k: v.get("wall_sec")
-                        for k, v in best[high].get("stages", {}).items()},
+                        for k, v in pick_high.get("stages", {}).items()},
     }
 
 
@@ -254,39 +286,72 @@ def prev_bench() -> tuple[str, dict] | None:
     return None
 
 
-def delta_table(result: dict) -> str:
+def delta_table(result: dict) -> tuple[str, list[str]]:
     """Generated r(N) vs r(N-1) per-query delta table (round-2 verdict
     item 9, round-3 item 6): automated so no hand-quoted cross-window
-    delta can creep in. The table is explicitly labeled CROSS-WINDOW —
-    the previous round ran in a different time window on this shared
-    host, so absolute deltas mix code changes with window drift; the sha2
-    calibration anchor (pure-JVM compute, code-independent) is printed as
-    the window-scale gauge."""
+    delta can creep in. The previous round ran in a different time window
+    on this shared host, so RAW deltas mix code changes with window
+    drift. Normalization (round-4 verdict item 1b): the ANCHOR_QUERY wall
+    — an untouched-JVM shuffle-bound query whose code never changes — is
+    the window scale; each query's delta is divided by it. The sha2
+    compute anchor is kept as a secondary gauge (compute and shuffle
+    throughput drift independently on this host — round 4 had sha2 at
+    x0.86 while every shuffle-bound query hit x2). Queries whose
+    anchor-normalized ratio exceeds FLAG_RATIO are returned as flags for
+    a same-window A/B (tools/query_ab.py)."""
     prev = prev_bench()
     if prev is None:
-        return ""
+        return "", []
     name, pj = prev
+    if pj.get("sf") != result.get("sf"):
+        # a smoke run at another sf must not diff (or flag) against the
+        # committed round artifact — the walls aren't comparable
+        return (f"\n(No delta table: previous round {name} ran at "
+                f"sf={pj.get('sf')}, this run at sf={result.get('sf')}.)\n",
+                [])
     pq_ = pj.get("queries", {})
-    rows = []
+    window = None
+    if pq_.get(ANCHOR_QUERY) and result["queries"].get(ANCHOR_QUERY):
+        window = result["queries"][ANCHOR_QUERY] / pq_[ANCHOR_QUERY]
+    rows, flags = [], []
     for q, now in result["queries"].items():
         if q in pq_ and isinstance(now, (int, float)) and pq_[q]:
             pct = (now - pq_[q]) / pq_[q] * 100
-            rows.append(f"| {q} | {pq_[q]:.2f}s | {now:.2f}s | {pct:+.0f}% |")
-    anchor = ""
+            if window:
+                norm = (now / window) / pq_[q]
+                mark = " **FLAG**" if (norm > FLAG_RATIO
+                                       and q != ANCHOR_QUERY) else ""
+                if mark:
+                    flags.append(q)
+                rows.append(f"| {q} | {pq_[q]:.2f}s | {now:.2f}s | "
+                            f"{pct:+.0f}% | x{norm:.2f}{mark} |")
+            else:
+                rows.append(f"| {q} | {pq_[q]:.2f}s | {now:.2f}s | "
+                            f"{pct:+.0f}% | — |")
+    anchors = ""
+    if window:
+        anchors = (f"\nWindow-scale anchor (`{ANCHOR_QUERY}`, untouched "
+                   f"JVM query, code-independent): {name} "
+                   f"{pq_[ANCHOR_QUERY]:.2f}s vs now "
+                   f"{result['queries'][ANCHOR_QUERY]:.2f}s "
+                   f"(window x{window:.2f}). Normalized = this-run wall "
+                   f"÷ window ÷ previous wall; > x{FLAG_RATIO} flags a "
+                   f"same-window A/B.\n")
     try:
         k = f"wall_{SCALE_HIGH}c"
         a_prev = pj["calibrations"]["sha2"][k]
         a_now = result["calibrations"]["sha2"][k]
-        anchor = (f"\nWindow-scale anchor (sha2 chain, {SCALE_HIGH}c, "
-                  f"code-independent): {name} {a_prev}s vs now {a_now}s "
-                  f"(x{a_now / a_prev:.2f}) — deltas inside that band are "
-                  f"window drift, not code.\n")
+        anchors += (f"Secondary compute anchor (sha2 chain, {SCALE_HIGH}c): "
+                    f"{a_prev}s vs {a_now}s (x{a_now / a_prev:.2f}) — "
+                    f"compute-bound deltas inside that band are window "
+                    f"drift.\n")
     except Exception:  # noqa: BLE001 — older artifacts may lack the probe
         pass
-    return (f"\n## Delta vs {name} (generated; CROSS-WINDOW — "
-            f"informational only)\n\n"
-            f"| query | {name} | this run | delta |\n|---|---|---|---|\n"
-            + "\n".join(rows) + "\n" + anchor)
+    return (f"\n## Delta vs {name} (generated; CROSS-WINDOW raw, "
+            f"anchor-normalized in last column)\n\n"
+            f"| query | {name} | this run | raw delta | normalized |\n"
+            f"|---|---|---|---|---|\n"
+            + "\n".join(rows) + "\n" + anchors), flags
 
 
 def main() -> None:
@@ -327,7 +392,7 @@ def main() -> None:
     # N->4N adds controllers and pipes with the cores)
     n4_pair = scaling_pair(input_path, str(warm_path), n_rows,
                            "/tmp/binlogpipe_bench", "sc_n4_",
-                           low=1, high=4, rounds=2)
+                           low=1, high=4, rounds=3, agg="median")
 
     calib = calibrations()
     query_secs = run_queries(SF_DIR, CPUS)
@@ -337,7 +402,12 @@ def main() -> None:
         queries[f"pipeline_{stage}"] = info.get("wall_sec")
     queries.update(query_secs)
 
-    result = {
+    # full-detail record (stage splits, per-round walls, calibrations) —
+    # written to a FILE; the printed line must stay compact because the
+    # driver captures a bounded stdout tail and a >2KB line gets its head
+    # truncated into unparseability (round-4 verdict item 1a: BENCH_r04's
+    # machine record was lost exactly this way)
+    full = {
         "metric": "end-to-end routed sequences/sec (parse→enrich→route→aggregate)",
         "value": round(t_main, 3),
         "unit": "sec",
@@ -351,6 +421,9 @@ def main() -> None:
         "scaling_1_to_4": n4_pair,
         "calibrations": calib,
     }
+    result = full  # delta_table reads queries + calibrations from it
+
+    delta_md, flags = delta_table(result)
 
     bench_md = REPO / "BENCH" / "BASELINE.md"
     bench_md.parent.mkdir(exist_ok=True)
@@ -374,11 +447,18 @@ full parse→enrich→route→aggregate DAG (typed sinks + aggregates + lineage)
 | tmpfs (/dev/shm — storage scales with threads) | {tmpfs_pair['wall_low_sec']:.1f}s | {tmpfs_pair['wall_high_sec']:.1f}s | {tmpfs_pair['throughput_low']:,.0f}/s | {tmpfs_pair['throughput_high']:,.0f}/s | **{tmpfs_pair['efficiency']:.3f}** |
 
 Second instantiation of the same N→4N rule, below the single-JVM
-saturation knee (local[1] vs local[4], same job + input, interleaved):
+saturation knee (local[1] vs local[4], same job + input, interleaved
+×3, MEDIAN per level — the 1-core wall drifts ±7% run-to-run on this
+shared host while the 4-core wall is stable, so best-of could pair a
+lucky 4-core wall with an unlucky 1-core one; median pairs
+like-with-like; all raw walls shown):
 
-| pair | N wall | 4N wall | tput N | tput 4N | efficiency |
+| pair | N wall (median) | 4N wall (median) | tput N | tput 4N | efficiency |
 |---|---|---|---|---|---|
 | local[1] → local[4] | {n4_pair['wall_low_sec']:.1f}s | {n4_pair['wall_high_sec']:.1f}s | {n4_pair['throughput_low']:,.0f}/s | {n4_pair['throughput_high']:,.0f}/s | **{n4_pair['efficiency']:.3f}** |
+
+Raw interleaved walls — 1-core: {n4_pair['walls_low']} / 4-core: {n4_pair['walls_high']}
+(per-pair efficiencies: {[round((lo / hi) / 4, 3) for lo, hi in zip(n4_pair['walls_low'], n4_pair['walls_high'])]}).
 
 The pipeline itself scales at the contract level when N→4N actually
 multiplies the binding per-host resources (memory controller, JVM↔Python
@@ -422,9 +502,41 @@ Query timings at sf={sf} ({CPUS} cores, noop-write-forced, sec):
 
 Reference publishes no numbers (BASELINE.md §1); the operative comparison
 is this harness re-run per round (BENCH_r{{N}}.json).
-{delta_table(result)}
+{delta_md}
 {appendix}""")
-    print(json.dumps(result))
+
+    full["flagged_queries"] = flags
+    (REPO / "BENCH" / "latest_full.json").write_text(
+        json.dumps(full, indent=1))
+
+    # compact headline line (driver contract: ONE JSON line; < ~2KB)
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "rows": n_rows,
+        "throughput_seq_per_sec": full["throughput_seq_per_sec"],
+        "scaling_efficiency": {
+            "disk_8_32": disk_pair["efficiency"],
+            "tmpfs_8_32": tmpfs_pair["efficiency"],
+            "n1_to_4_median3": n4_pair["efficiency"],
+        },
+        "n1_to_4_walls": {"low": n4_pair["walls_low"],
+                          "high": n4_pair["walls_high"]},
+        "anchors": {"sha2_eff": calib["sha2"]["efficiency"],
+                    "bridge_eff": calib["bridge"]["efficiency"]},
+        "flagged_queries": flags,
+        "detail": "BENCH/latest_full.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2048:  # hard contract: never lose the machine record again
+        compact["queries"] = {k: v for k, v in queries.items()
+                              if k.startswith("pipeline_")}
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -107,10 +107,25 @@ def cmd_stream(args) -> None:
 
     spark = build_spark(app="binlogpipe-stream")
     ck = args.checkpoint or str(Path(args.out) / "_stream_checkpoint")
-    streaming.run_full_available_now(
-        spark, args.input, args.out, ck,
-        max_files_per_trigger=args.max_files_per_trigger,
-        input_format="binlog" if args.binlog else "parquet")
+    fmt = "binlog" if args.binlog else "parquet"
+    if args.follow:
+        # live mode (the actual `conn` shape): poll the input dir every
+        # --interval forever, processing files as they appear; Ctrl-C (or
+        # q.stop() from another thread) ends it, and re-invoking with the
+        # same checkpoint resumes past every committed batch
+        q = streaming.start_full_live(
+            spark, args.input, args.out, ck, interval=args.interval,
+            max_files_per_trigger=args.max_files_per_trigger,
+            input_format=fmt)
+        try:
+            q.awaitTermination()
+        except KeyboardInterrupt:
+            q.stop()
+    else:
+        streaming.run_full_available_now(
+            spark, args.input, args.out, ck,
+            max_files_per_trigger=args.max_files_per_trigger,
+            input_format=fmt)
     # scheme-aware: a drain with no new files processes zero micro-batches
     # and never creates out/sinks — a valid no-op invocation, not an error
     sinks = sorted(job.list_partition_dirs(
@@ -157,6 +172,12 @@ def main() -> None:
     s.add_argument("--max-files-per-trigger", type=int, default=None)
     s.add_argument("--binlog", action="store_true",
                    help="follow raw .bin binlog files instead of parquet")
+    s.add_argument("--follow", action="store_true",
+                   help="keep running (processingTime trigger), processing "
+                        "new files as they appear, until interrupted — the "
+                        "reference's continuous `conn` recv loop")
+    s.add_argument("--interval", default="1 second",
+                   help="--follow poll interval (default '1 second')")
     s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("compact", help="rewrite a typed sink at "

@@ -535,8 +535,12 @@ def compact_sink(spark: SparkSession, out_dir: str, sink: str,
     n_files = max(1, round(size_b / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
-    # swap order keeps a readable copy at every instant: src -> _old,
-    # tmp -> src, then drop _old. A crash at any point is recoverable above.
+    # swap order: src -> _old, tmp -> src, then drop _old. Between the two
+    # renames the live path briefly does not exist, so a concurrently
+    # PLANNING read can fail (recoverably — rerun it); the point of the
+    # ordering is crash safety, not read availability: a crash at any
+    # point leaves either src or _old holding the good data, and the
+    # recovery block above restores it.
     _rename(sp, old)
     _rename(tmp, sp)
     fs.delete(old, True)

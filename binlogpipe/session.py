@@ -14,10 +14,14 @@ from pyspark.sql import SparkSession
 
 
 def build_spark(app: str = "binlogpipe", cores: int | None = None,
-                shuffle_partitions: int | None = None) -> SparkSession:
+                shuffle_partitions: int | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """`extra_conf` entries are applied LAST (override the defaults) —
+    the A/B harnesses use it to flip one conf (e.g.
+    spark.io.compression.codec) between otherwise-identical sessions."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -39,5 +43,7 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "10g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -164,11 +164,17 @@ def run_available_now(spark: SparkSession, input_dir: str, out_dir: str,
     q.awaitTermination()
 
 
-def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
-                           checkpoint_dir: str,
-                           max_files_per_trigger: int | None = None,
-                           input_format: str = "parquet") -> None:
-    """Incremental FULL DAG: the streaming twin of job.run_pipeline. Each
+def _full_dag_writer(spark: SparkSession, input_dir: str, out_dir: str,
+                     checkpoint_dir: str,
+                     max_files_per_trigger: int | None = None,
+                     input_format: str = "parquet"):
+    """Un-triggered writeStream for the incremental FULL DAG (the
+    streaming twin of job.run_pipeline). Shared by the AvailableNow drain
+    (run_full_available_now — tests/golden parity) and the live
+    processingTime follower (start_full_live — the reference's
+    Connection::recv loop analog); both MUST run the identical process
+    fn, or live-follow behavior would silently diverge from the drained
+    form the goldens pin. Each
     micro-batch routes to the routed table, refreshes the TableMap
     dimension (cumulative latest-wins — a rows event may arrive batches
     after its TableMap), and appends per-sink typed decodes, reusing the
@@ -301,12 +307,44 @@ def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
             dec.write.mode("overwrite").parquet(
                 f"{sinks_root}/{sink}/batch={batch_id}")
 
-    q = (read_stream(spark, input_dir, max_files_per_trigger, input_format)
-         .writeStream.foreachBatch(process)
-         .option("checkpointLocation", checkpoint_dir)
+    return (read_stream(spark, input_dir, max_files_per_trigger,
+                        input_format)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def run_full_available_now(spark: SparkSession, input_dir: str, out_dir: str,
+                           checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None,
+                           input_format: str = "parquet") -> None:
+    """Drain the current table contents through the full streaming DAG
+    (batch/stream parity tests); restartable from the checkpoint."""
+    q = (_full_dag_writer(spark, input_dir, out_dir, checkpoint_dir,
+                          max_files_per_trigger, input_format)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def start_full_live(spark: SparkSession, input_dir: str, out_dir: str,
+                    checkpoint_dir: str, interval: str = "1 second",
+                    max_files_per_trigger: int | None = None,
+                    input_format: str = "parquet"):
+    """Live follower: the long-running form of the full DAG — a
+    processingTime trigger polls the input directory every `interval` and
+    processes whatever files appeared, forever, the Spark-native analog
+    of the reference's continuous replication recv loop
+    (crates/old/src/connection.rs:41-80: loop { read_packet -> parse ->
+    push }). Same foreachBatch fn as the AvailableNow drain, so per-batch
+    semantics (idempotent batch=<id> overwrites, incremental dim
+    snapshots, typed sink decode) are identical; only the trigger
+    differs. Returns the RUNNING StreamingQuery — the caller owns its
+    lifecycle (q.stop(); a restart with the same checkpoint resumes past
+    all committed batches)."""
+    return (_full_dag_writer(spark, input_dir, out_dir, checkpoint_dir,
+                             max_files_per_trigger, input_format)
+            .trigger(processingTime=interval)
+            .start())
 
 
 def run_counts_available_now(spark: SparkSession, input_dir: str,

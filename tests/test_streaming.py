@@ -319,3 +319,82 @@ def test_windowed_counts_append_mode_emits_finalized_windows(
     # fixture event times span >1h, so all but the trailing hour finalize
     assert rows and sum(r["n"] for r in rows) <= 166
     assert all(r["n"] > 0 and r["sink"] for r in rows)
+
+
+def test_live_follow_processing_time(spark, fixture_parquet, tmp_path):
+    """Live-follow pin (round-4 verdict 'what's missing #1'): the
+    processingTime trigger variant — the actual long-running shape of the
+    reference's continuous `conn` recv loop (connection.rs:41-80) — must
+    (a) pick up files appended to the input dir WHILE the query runs and
+    grow the sinks incrementally, (b) refresh the TableMap dim per
+    micro-batch, and (c) resume from the checkpoint on restart without
+    reprocessing committed batches. The AvailableNow drains elsewhere in
+    this file share the same foreachBatch fn but never exercise the
+    between-triggers file-arrival path this test forces."""
+    import time
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(fixture_parquet)
+    n = len(pdf)
+    d = tmp_path / "live_in"
+    d.mkdir()
+    out = tmp_path / "live_out"
+    ck = tmp_path / "ck_live"
+
+    def wait_commit(batch_id: int, timeout: float = 120.0) -> None:
+        # the checkpoint commit file is the authoritative batch-done
+        # signal — polling output counts races the foreachBatch body
+        # (routed lands before dim/sinks within one batch)
+        f = ck / "commits" / str(batch_id)
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if f.exists():
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"batch {batch_id} never committed")
+
+    def routed_count() -> int:
+        return spark.read.parquet(str(out / "routed")).count()
+
+    # file 0 exists before the query starts; file 1 arrives mid-flight
+    pdf.iloc[:n // 2].to_parquet(d / "part-0.parquet")
+    q = streaming.start_full_live(spark, str(d), str(out), str(ck),
+                                  interval="500 milliseconds")
+    try:
+        wait_commit(0)
+        assert routed_count() == n // 2
+        assert (out / "sinks").is_dir()  # sinks written from batch 0
+        pdf.iloc[n // 2:].to_parquet(d / "part-1.parquet")
+        wait_commit(1)  # picked up by a LATER trigger of the same query
+        assert routed_count() == n
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # dim refreshed per micro-batch: both batch snapshots exist (two
+    # batches < retention horizon of 3, so neither is pruned yet)
+    snaps = sorted(p.name for p in (out / "table_map_dim").glob("v=*"))
+    assert snaps == ["v=0", "v=1"], snaps
+
+    # converged typed-sink counts equal the batch goldens
+    got = {p.name: spark.read.parquet(str(p)).count()
+           for p in sorted((out / "sinks").iterdir())}
+    assert got == GOLDEN_COUNTS
+
+    # restart with the same checkpoint: a new file is processed as the
+    # NEXT batch id; committed batches 0/1 are not reprocessed
+    pdf.to_parquet(d / "part-2.parquet")
+    q2 = streaming.start_full_live(spark, str(d), str(out), str(ck),
+                                   interval="500 milliseconds")
+    try:
+        wait_commit(2)
+        assert routed_count() == 2 * n
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    batches = {p.name for p in (out / "routed").glob("batch=*")}
+    assert batches == {"batch=0", "batch=1", "batch=2"}, batches
+    got2 = {p.name: spark.read.parquet(str(p)).count()
+            for p in sorted((out / "sinks").iterdir())}
+    assert got2 == {k: 2 * v for k, v in GOLDEN_COUNTS.items()}
