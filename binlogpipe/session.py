@@ -38,11 +38,45 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # shuffle/spill codec: zstd over the lz4 default. Interleaved A/Bs
+        # (round 5, BENCH appendix): sf0.1 e2e 32c zstd wins 4/5 pairs
+        # (median -4%, best -10%); sf1.0 full pipeline -4.5% e2e with the
+        # route stage -23%; sf1.0 route-only cells zstd 2/3 pairs; wash at
+        # 1/4 cores. Token payloads compress well, and shuffle bytes are
+        # the route stage's non-scaling term — on a real cluster the
+        # shuffle crosses the NETWORK, where the byte reduction is worth
+        # strictly more than on this single-host loopback.
+        .config("spark.io.compression.codec", "zstd")
         # 10g: large heaps measured multi-second G1 pauses under Arrow +
         # parquet churn; smaller heap keeps pauses short and stable
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "10g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # committer v2: tasks move their own outputs at task-commit; v1
+        # has the DRIVER serially rename every task file at job-commit — a
+        # fixed per-job cost paid ~22x per pipeline run (one job per sink
+        # write). Interleaved A/B on a fixed-cost-dominated input: every
+        # v2 wall beat every v1 wall, ~5% of the run's fixed cost
+        # (tools/fixed_cost_probe.py; BENCH appendix round-5). Partial
+        # files from a task that fails mid-commit are overwritten on
+        # retry — every pipeline write is an idempotent overwrite into
+        # its own directory, checkpoint-marked only after job success.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        # straggler insurance: twice this round an sf1.0-scale UDF stage
+        # hung at (n-1)/n tasks — the Python worker blocked in
+        # tcp send (sk_stream_wait_memory, output socket full) while the
+        # JVM task sat in the PythonRunner selector: a rare JVM<->Python
+        # flow-control deadlock under large Arrow batches (jstack +
+        # /proc/<worker>/stack evidence in BENCH appendix round-5). A
+        # deadlocked task is an infinite straggler, so speculation always
+        # rescues it; the 4x-median multiplier + 0.9 quantile make it
+        # near-silent on healthy skew (the router's salting keeps task
+        # walls uniform). The duplicate-commit race is the committer
+        # coordinator's job, same as any production cluster.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
