@@ -199,51 +199,61 @@ def calibrations() -> dict:
       bridge, measured to be a fixed-bandwidth PER-HOST resource (~0.6 GB/s
       total regardless of thread count). Every UDF stage binds on it in
       local mode; N->4N real executors multiply it by 4.
-    """
+
+    Both probes run at BOTH core pairs — the contract 8/32 pair and the
+    1/4 pair — so each scaling_* result ships with a same-window
+    compute/bridge ceiling: when host contention caps even pure JVM
+    compute below 1.0 in a window (observed: sha2 8→32 swinging
+    0.75-0.93 across one day), the pipeline's recorded pair must be read
+    against THAT ceiling, not against an ideal host. The 1/4 sha2 cell
+    uses fewer rows so the 1-core wall stays ~15s."""
     from pyspark.sql.functions import pandas_udf
 
     from binlogpipe.session import build_spark
 
     out: dict = {}
     for kind in ("sha2", "bridge"):
-        walls = {}
-        for cores in (SCALE_LOW, SCALE_HIGH):
-            spark = build_spark(app=f"calib-{kind}-{cores}", cores=cores)
-            try:
-                spark.range(1000).selectExpr("sum(id)").collect()
-                if kind == "sha2":
-                    df = spark.range(160_000_000, numPartitions=4 * cores)
-                    t0 = time.time()
-                    (df.selectExpr("sha2(cast(id as string), 256) as h")
-                       .selectExpr("sha2(h, 256) as h2")
-                       .selectExpr("max(h2)").collect())
-                    walls[cores] = round(time.time() - t0, 2)
-                else:
-                    df = (spark.range(6_000_000, numPartitions=4 * cores)
-                          .selectExpr("id", "cast(repeat(uuid(), 3) as binary) as payload")
-                          .persist())
-                    df.count()
-
-                    @pandas_udf("int")
-                    def blen(s: pd.Series) -> pd.Series:
-                        return s.map(len).astype("int32")
-
-                    best = None
-                    for _ in range(2):
+        for low, high, suffix in ((SCALE_LOW, SCALE_HIGH, ""),
+                                  (1, 4, "_1_4")):
+            walls = {}
+            for cores in (low, high):
+                spark = build_spark(app=f"calib-{kind}-{cores}", cores=cores)
+                try:
+                    spark.range(1000).selectExpr("sum(id)").collect()
+                    if kind == "sha2":
+                        n = 160_000_000 if not suffix else 20_000_000
+                        df = spark.range(n, numPartitions=4 * cores)
                         t0 = time.time()
-                        df.select(blen("payload")).selectExpr("max(*)").collect()
-                        w = time.time() - t0
-                        best = w if best is None or w < best else best
-                    walls[cores] = round(best, 2)
-                    df.unpersist()
-            finally:
-                spark.stop()
-        out[kind] = {
-            f"wall_{SCALE_LOW}c": walls[SCALE_LOW],
-            f"wall_{SCALE_HIGH}c": walls[SCALE_HIGH],
-            "efficiency": round((walls[SCALE_LOW] / walls[SCALE_HIGH])
-                                / (SCALE_HIGH / SCALE_LOW), 3),
-        }
+                        (df.selectExpr("sha2(cast(id as string), 256) as h")
+                           .selectExpr("sha2(h, 256) as h2")
+                           .selectExpr("max(h2)").collect())
+                        walls[cores] = round(time.time() - t0, 2)
+                    else:
+                        df = (spark.range(6_000_000, numPartitions=4 * cores)
+                              .selectExpr("id", "cast(repeat(uuid(), 3) as binary) as payload")
+                              .persist())
+                        df.count()
+
+                        @pandas_udf("int")
+                        def blen(s: pd.Series) -> pd.Series:
+                            return s.map(len).astype("int32")
+
+                        best = None
+                        for _ in range(2):
+                            t0 = time.time()
+                            df.select(blen("payload")).selectExpr("max(*)").collect()
+                            w = time.time() - t0
+                            best = w if best is None or w < best else best
+                        walls[cores] = round(best, 2)
+                        df.unpersist()
+                finally:
+                    spark.stop()
+            out[kind + suffix] = {
+                f"wall_{low}c": walls[low],
+                f"wall_{high}c": walls[high],
+                "efficiency": round((walls[low] / walls[high])
+                                    / (high / low), 3),
+            }
     return out
 
 
@@ -256,6 +266,23 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     timings: dict[str, float] = {}
     try:
         spark.range(1000).selectExpr("sum(id)").collect()
+        # warm the parquet-scan and Python-bridge paths before timing:
+        # each query is timed ONCE, so whichever ran first used to absorb
+        # the session's cold codegen + Python-worker startup (round 5:
+        # first-slot doc_exact_dedup flagged x1.98 normalized, then
+        # exonerated x0.88 by the worktree A/B — pure position bias)
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .limit(2000).selectExpr("md5(text) h").groupBy("h").count()
+         .write.format("noop").mode("overwrite").save())
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _wlen(s: pd.Series) -> pd.Series:
+            return s.str.len().astype("int32")
+
+        (spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2000)
+         .select(_wlen("text")).write.format("noop")
+         .mode("overwrite").save())
         for name in QUERY_NAMES:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -460,6 +487,14 @@ like-with-like; all raw walls shown):
 Raw interleaved walls — 1-core: {n4_pair['walls_low']} / 4-core: {n4_pair['walls_high']}
 (per-pair efficiencies: {[round((lo / hi) / 4, 3) for lo, hi in zip(n4_pair['walls_low'], n4_pair['walls_high'])]}).
 
+Same-window 1→4 ceilings (fresh this run): pure-JVM compute (sha2)
+scales at **{calib['sha2_1_4']['efficiency']:.3f}**, the Python bridge at
+**{calib['bridge_1_4']['efficiency']:.3f}** — host contention caps what ANY
+job can record in this window. Pipeline/compute-ceiling utilization:
+**{min(1.0, n4_pair['efficiency'] / max(calib['sha2_1_4']['efficiency'], 1e-9)):.2f}**
+(the pair's efficiency read against the window's own compute ceiling
+rather than an ideal host).
+
 The pipeline itself scales at the contract level when N→4N actually
 multiplies the binding per-host resources (memory controller, JVM↔Python
 pipe) — which local[8]→local[32] on one JVM cannot do (the sha2
@@ -470,8 +505,13 @@ cluster's N→4N executor scale-up is the 1→4 regime, not the 8→32 one.
 
 | probe | {SCALE_LOW}c | {SCALE_HIGH}c | efficiency | meaning |
 |---|---|---|---|---|
-| sha2 chain, 160M rows (pure JVM compute) | {calib['sha2'][f'wall_{SCALE_LOW}c']}s | {calib['sha2'][f'wall_{SCALE_HIGH}c']}s | **{calib['sha2']['efficiency']:.3f}** | the VM's compute DOES scale {SCALE_LOW}→{SCALE_HIGH} |
+| sha2 chain, 160M rows (pure JVM compute) | {calib['sha2'][f'wall_{SCALE_LOW}c']}s | {calib['sha2'][f'wall_{SCALE_HIGH}c']}s | **{calib['sha2']['efficiency']:.3f}** | the window's compute ceiling at {SCALE_LOW}→{SCALE_HIGH} |
 | identity pandas UDF, 6M cached rows (JVM↔Python Arrow bridge) | {calib['bridge'][f'wall_{SCALE_LOW}c']}s | {calib['bridge'][f'wall_{SCALE_HIGH}c']}s | **{calib['bridge']['efficiency']:.3f}** | the bridge is a fixed ~0.6 GB/s PER-HOST pipe — flat wall at any core count |
+
+| probe | 1c | 4c | efficiency | meaning |
+|---|---|---|---|---|
+| sha2 chain, 20M rows | {calib['sha2_1_4']['wall_1c']}s | {calib['sha2_1_4']['wall_4c']}s | **{calib['sha2_1_4']['efficiency']:.3f}** | the window's compute ceiling at 1→4 — gauges the 1→4 pair above |
+| identity pandas UDF, 6M cached rows | {calib['bridge_1_4']['wall_1c']}s | {calib['bridge_1_4']['wall_4c']}s | **{calib['bridge_1_4']['efficiency']:.3f}** | below the knee the bridge still scales — it saturates only past ~8 threads |
 
 Methodology: all pairs interleaved ({SCALE_LOW}, {SCALE_HIGH}) × {SCALE_ROUNDS}
 in one window because this sandbox's shared-host throughput swings multi-x
@@ -526,7 +566,9 @@ is this harness re-run per round (BENCH_r{{N}}.json).
         "n1_to_4_walls": {"low": n4_pair["walls_low"],
                           "high": n4_pair["walls_high"]},
         "anchors": {"sha2_eff": calib["sha2"]["efficiency"],
-                    "bridge_eff": calib["bridge"]["efficiency"]},
+                    "bridge_eff": calib["bridge"]["efficiency"],
+                    "sha2_1_4_eff": calib["sha2_1_4"]["efficiency"],
+                    "bridge_1_4_eff": calib["bridge_1_4"]["efficiency"]},
         "flagged_queries": flags,
         "detail": "BENCH/latest_full.json",
     }
