@@ -155,6 +155,30 @@ def pack_tokens_udf():
     return pack
 
 
+# JVM-side pre-narrowing for the pack crossing — MEASURED NEGATIVE, kept
+# only as a record so no future round re-tries it. Idea: tokens are byte
+# VALUES (n_tok == event_size) carried as array<int32>, so the pack UDF's
+# bridge input moves 4 Arrow bytes per event byte; casting to tinyint
+# JVM-side quarters that. Byte parity with tokens_to_bytes's uint8
+# truncation is exact (pmod into [0,256) then shift the top half to
+# [-128,127] so the ANSI cast cannot throw; two's-complement view on the
+# Python side — fuzz + fixture pinned). But the interleaved routed-write
+# A/B at sf0.1/32c LOSES every pair (i32 6.5/4.6/4.2s vs i8
+# 6.9/5.5/5.3s, x1.27 best): the per-element higher-order transform()
+# builds a new array per row on the JVM side, and that costs more than
+# the bridge-byte saving returns — the Arrow transfer overlaps JVM
+# compute, so route is JVM-CPU-bound at full width, not pipe-bound.
+# Consistent with the round-4 fuse lesson: this stage's bridge cost is
+# already overlapped; only removing WORK (not moving it) helps.
+TOKENS_I8_SQL = ("transform({col}, x -> cast(pmod(x, 256) - "
+                 "(case when pmod(x, 256) > 127 then 256 else 0 end) "
+                 "as tinyint))")
+
+
+def tokens_i8_col(col: str = "tokens"):
+    return F.expr(TOKENS_I8_SQL.format(col=col))
+
+
 def pack_tokens_arrow(df: DataFrame, tokens_col: str = "tokens",
                       out_col: str = "tokens_bin") -> DataFrame:
     """Replace the array<int32> tokens column with packed binary via a
