@@ -18,11 +18,24 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
                 extra_conf: dict[str, str] | None = None) -> SparkSession:
     """`extra_conf` entries are applied LAST (override the defaults) —
     the A/B harnesses use it to flip one conf (e.g.
-    spark.io.compression.codec) between otherwise-identical sessions."""
+    spark.io.compression.codec) between otherwise-identical sessions.
+
+    Master resolution: an EXPLICIT `cores` argument always pins
+    local[cores] (the bench/test harnesses depend on that); otherwise,
+    when spark-submit already provided a master (--master lands in the
+    spark.master system property before the driver runs), respect it —
+    forcing local[N] here would silently turn a cluster submission into
+    a single-host run. Only with neither do we default to local[env]."""
+    explicit_cores = cores is not None
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    b = SparkSession.builder
+    from pyspark import SparkConf
+
+    if explicit_cores or not SparkConf().contains("spark.master"):
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        b
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
