@@ -562,6 +562,11 @@ def main() -> None:  # spark-submit entrypoint
     spark = build_spark(cores=args.cores)
     m = run_pipeline(spark, args.input, args.out, run_id=args.run_id,
                      resume=not args.no_resume)
+    # effective master in the printed metrics: a spark-submit --master must
+    # survive build_spark (session.py master resolution) — the submit test
+    # asserts this from the driver's own report, the only place the
+    # regression is visible (round-5 advice items 1+4)
+    m["master"] = spark.sparkContext.master
     print(json.dumps(m))
 
 

@@ -32,7 +32,19 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
     b = SparkSession.builder
     from pyspark import SparkConf
 
-    if explicit_cores or not SparkConf().contains("spark.master"):
+    # Submitted-master detection must NOT rely on SparkConf() alone: in a
+    # fresh spark-submit driver process the JVM gateway has not started
+    # yet, so SparkConf() is a pure-Python empty map and contains() is
+    # False even though --master sits in the JVM-side submit conf —
+    # round-5 shipped exactly that bug and silently forced a cluster
+    # submission down to local[N]. PythonRunner (the spark-submit driver
+    # launcher) exports PYSPARK_GATEWAY_PORT to the user script before it
+    # runs, so that env var IS the "a submit conf exists" signal; the
+    # SparkConf() check still covers the in-process case where a gateway
+    # (and its spark.master system property) already exists.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if explicit_cores or not (under_submit
+                              or SparkConf().contains("spark.master")):
         b = b.master(f"local[{cores}]")
     b = (
         b

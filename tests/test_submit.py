@@ -27,9 +27,15 @@ def test_spark_submit_pyfiles_full_dag(tmp_path):
     zip_path = build(tmp_path / "binlogpipe.zip")
     out = tmp_path / "out"
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    # the submitted master (local[3]) is DELIBERATELY distinct from the
+    # SPARK_GRAFT_CPUS-derived default (local[4]): round 5 submitted the
+    # exact master build_spark would force anyway, so the test passed
+    # while build_spark was in fact trampling every submitted master (a
+    # fresh driver's SparkConf() is empty pre-gateway) — the assert on
+    # metrics["master"] below is the regression detector
     env["SPARK_GRAFT_CPUS"] = "4"
     p = subprocess.run(
-        [SPARK_SUBMIT, "--master", "local[4]",
+        [SPARK_SUBMIT, "--master", "local[3]",
          "--py-files", str(zip_path),
          str(REPO / "submit.py"),
          "--input", str(REPO / "data" / "fixture_events.parquet"),
@@ -40,6 +46,7 @@ def test_spark_submit_pyfiles_full_dag(tmp_path):
     assert p.returncode == 0, p.stderr[-4000:]
     # job.main prints the metrics JSON on its last stdout line
     metrics = json.loads(p.stdout.strip().splitlines()[-1])
+    assert metrics["master"] == "local[3]"
     assert metrics["rows"] == 166
     assert metrics["stages"]["route"]["rows"] == 166
     sinks = sorted(d.name for d in (out / "sinks").iterdir())

@@ -32,6 +32,10 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 V2 = {"spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2"}
+# v1 must be EXPLICIT: build_spark's default became v2 in round 5, so a
+# conf=None cell would silently rerun v2 against itself and report a
+# meaningless ~1.0 ratio (round-5 advice item 2)
+V1 = {"spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "1"}
 
 
 def main() -> None:
@@ -56,7 +60,7 @@ def main() -> None:
     # cell 2: committer v1 vs v2 on the same tiny input at 4 cores
     c_walls: dict[str, list] = {"v1": [], "v2": []}
     for _ in range(rounds):
-        for key, conf in (("v1", None), ("v2", V2)):
+        for key, conf in (("v1", V1), ("v2", V2)):
             m = bench.run_pipeline_at(4, str(tiny), f"cm_{key}",
                                       warmup_path=str(tiny), n_timed=2,
                                       spark_conf=conf)
