@@ -97,8 +97,23 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
         # deadlocked task is an infinite straggler, so speculation always
         # rescues it; the 4x-median multiplier + 0.9 quantile make it
         # near-silent on healthy skew (the router's salting keeps task
-        # walls uniform). The duplicate-commit race is the committer
-        # coordinator's job, same as any production cluster.
+        # walls uniform).
+        #
+        # Duplicate-commit invariant (speculation x committer v2): a
+        # retry or speculative twin cannot duplicate output because
+        # (a) part-file names are attempt-DETERMINISTIC —
+        # part-<split>-<jobUUID>.c000 carries no attempt number, so both
+        # attempts of a partition target the SAME destination paths and
+        # the later writer overwrites, never adds; and (b) the
+        # OutputCommitCoordinator authorizes exactly one attempt per
+        # partition to commit — the loser gets CommitDeniedException and
+        # its attempt files are discarded. (a)+(the retry half of b) are
+        # pinned by tests/test_commit_safety.py, which fails a first
+        # attempt mid-stream (partial part-file on disk) and asserts
+        # exact counts, id multiset, and file-per-task-per-sink counts;
+        # the speculative twin itself is unforceable locally
+        # (TaskSchedulerImpl starts speculation only when !isLocal) but
+        # reduces to the same two mechanisms.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")
