@@ -60,6 +60,28 @@ QUERY_NAMES = [
     "multimodal_features",
 ]
 
+# sf1.0 block: once per bench run (driver rounds run at sf0.1), the e2e
+# pipeline + the scale-sensitive near-dup/ANN family also run at 10x the
+# bench scale so regressions that only manifest at scale (bucket caps,
+# exchange reuse, decode width) are visible in the recorded artifact
+# (round-5 verdict "What's missing" #1). SPARK_GRAFT_SF1=0 disables.
+SF1_QUERY_NAMES = [
+    "doc_neardup_minhash", "doc_neardup_clusters", "doc_neardup_jaccard",
+    "emb_lsh_ann", "emb_neardup", "emb_ivf_ann",
+]
+
+# Ceiling gate for the contract 1->4 pair (round-5 verdict #1): the pair
+# is only *measured* in a time window whose fresh pure-JVM 1->4 ceiling
+# (sha2 probe) reaches CEILING_MIN — when host contention caps even
+# single-threaded JVM compute below that, NO job can record a clean pair
+# and the measurement would gauge the neighbors, not the pipeline.
+# Bounded probes/retries; every probe and every pair attempt is recorded
+# in the artifact so the window selection is transparent, never silent.
+N4_CEILING_MIN = float(os.environ.get("BENCH_N4_CEILING_MIN", "0.85"))
+N4_PROBE_ATTEMPTS = int(os.environ.get("BENCH_N4_PROBE_ATTEMPTS", "3"))
+N4_PROBE_WAIT_SEC = int(os.environ.get("BENCH_N4_PROBE_WAIT_SEC", "150"))
+N4_PAIR_ATTEMPTS = int(os.environ.get("BENCH_N4_PAIR_ATTEMPTS", "2"))
+
 # untouched-JVM query anchor for cross-round delta normalization: this
 # query's code never changes round-to-round, so its wall measures the
 # WINDOW (shared-host disk/shuffle throughput), not code. The sha2 chain
@@ -189,6 +211,84 @@ def scaling_pair(input_path: str, warm_path: str, n_rows: int,
     }
 
 
+def sha2_pair(low: int, high: int, rows: int) -> dict:
+    """Fresh pure-JVM compute ceiling for a low/high core pair: the sha2
+    chain touches no scan, no shuffle, no Python — its N->4N efficiency
+    is the best ANY job can record in the current host window."""
+    from binlogpipe.session import build_spark
+
+    walls = {}
+    for cores in (low, high):
+        spark = build_spark(app=f"sha2-{cores}", cores=cores)
+        try:
+            spark.range(1000).selectExpr("sum(id)").collect()
+            df = spark.range(rows, numPartitions=4 * cores)
+            t0 = time.time()
+            (df.selectExpr("sha2(cast(id as string), 256) as h")
+               .selectExpr("sha2(h, 256) as h2")
+               .selectExpr("max(h2)").collect())
+            walls[cores] = round(time.time() - t0, 2)
+        finally:
+            spark.stop()
+    return {f"wall_{low}c": walls[low], f"wall_{high}c": walls[high],
+            "efficiency": round((walls[low] / walls[high]) / (high / low), 3)}
+
+
+def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
+                  out_base: str) -> dict:
+    """The contract 1->4 pair, ceiling-gated (see N4_CEILING_MIN above).
+
+    Protocol, all steps recorded in the returned dict:
+    1. probe the window (fresh sha2 1->4 ceiling); if below the gate,
+       wait and re-probe, up to N4_PROBE_ATTEMPTS times — then measure in
+       the best window seen regardless (bounded, never an infinite stall).
+    2. run the interleaved median-of-3 pair, then re-probe (the pair takes
+       minutes; the window can degrade mid-flight).
+    3. if the pair missed 0.8 AND a ceiling probe shows the window was
+       bad (pre or post below the gate), retry the whole pair once — a
+       miss in a HEALTHY window is the pipeline's own number and stands.
+    The recorded pair is the attempt whose window had the highest
+    min(pre, post) ceiling; every probe and attempt ships alongside."""
+    probes: list[dict] = []
+    pairs: list[dict] = []
+    for _ in range(N4_PAIR_ATTEMPTS):
+        pre = None
+        for p in range(N4_PROBE_ATTEMPTS):
+            pre = sha2_pair(1, 4, 20_000_000)
+            probes.append(pre)
+            if pre["efficiency"] >= N4_CEILING_MIN:
+                break
+            if p < N4_PROBE_ATTEMPTS - 1:
+                time.sleep(N4_PROBE_WAIT_SEC)
+        pair = scaling_pair(input_path, warm_path, n_rows, out_base,
+                            f"sc_n4a{len(pairs)}_", low=1, high=4,
+                            rounds=3, agg="median")
+        post = sha2_pair(1, 4, 20_000_000)
+        probes.append(post)
+        pair["ceiling_pre"] = pre["efficiency"]
+        pair["ceiling_post"] = post["efficiency"]
+        # utilization vs the HIGHER of the two ceilings — the conservative
+        # read (a higher ceiling makes the pipeline look worse, never
+        # better)
+        ceiling = max(pre["efficiency"], post["efficiency"])
+        pair["ceiling_utilization"] = round(
+            pair["efficiency"] / max(ceiling, 1e-9), 3)
+        pairs.append(pair)
+        window_ok = (pre["efficiency"] >= N4_CEILING_MIN
+                     and post["efficiency"] >= N4_CEILING_MIN)
+        if pair["efficiency"] >= 0.8 or window_ok:
+            break
+    best = max(pairs, key=lambda q: min(q["ceiling_pre"], q["ceiling_post"]))
+    best = dict(best)
+    best["window_probes"] = probes
+    best["all_pair_attempts"] = [
+        {k: q[k] for k in ("efficiency", "wall_low_sec", "wall_high_sec",
+                           "walls_low", "walls_high", "ceiling_pre",
+                           "ceiling_post", "ceiling_utilization")}
+        for q in pairs]
+    return best
+
+
 def calibrations() -> dict:
     """Per-host-resource calibration anchors, measured fresh each bench run
     (this sandbox's throughput drifts between time windows):
@@ -257,7 +357,57 @@ def calibrations() -> dict:
     return out
 
 
-def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def synth_sf1_docs(src_dir: str) -> str:
+    """A deterministic 10x replica of the doc/embedding tables (ids
+    remapped by replica stripe) for the sf1 near-dup/ANN cells. Exact
+    replication makes a dedup-HEAVY stress profile — every doc gains 9
+    exact twins, so the LSH bucket caps and candidate joins work at the
+    density the caps exist for. A perf gauge only; correctness oracles
+    stay at driver sf."""
+    from binlogpipe.session import build_spark
+    from pyspark.sql import functions as F
+
+    tgt = Path("/tmp/binlogpipe_bench/sf1_docs")
+    need = [(t, k) for t, k in (("documents", "doc_id"),
+                                ("embeddings", "vec_id"))
+            if not (tgt / f"{t}.parquet").exists()]
+    if need:
+        spark = build_spark(app="sf1-docs", cores=CPUS)
+        try:
+            for t, key in need:
+                df = spark.read.parquet(f"{src_dir}/{t}.parquet")
+                (df.withColumn(
+                        "_r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+                   .withColumn(key, F.col(key)
+                               + F.col("_r").cast("long") * 10_000_000)
+                   .drop("_r")
+                   .write.mode("overwrite")
+                   .parquet(str(tgt / f"{t}.parquet")))
+        finally:
+            spark.stop()
+    return str(tgt)
+
+
+def sf1_block(warm_path: str) -> dict:
+    """Once-per-round sf1.0 cells (60M events e2e + the scale-sensitive
+    query family on the 10x doc replica); see SF1_QUERY_NAMES note."""
+    input_path, n_rows = synth_input(1.0)
+    run = run_pipeline_at(CPUS, input_path, "sf1", warm_path, n_timed=1)
+    docs_dir = synth_sf1_docs(SF_DIR)
+    q = run_queries(docs_dir, CPUS, names=SF1_QUERY_NAMES)
+    return {
+        "rows": n_rows,
+        "e2e_sec": run["bench_wall_sec"],
+        "throughput_seq_per_sec": round(n_rows / run["bench_wall_sec"], 1),
+        "stages": {k: v.get("wall_sec")
+                   for k, v in run.get("stages", {}).items()},
+        "queries": q,
+        "doc_replica": "10x sf0.1 docs/embeddings, ids stripe-remapped",
+    }
+
+
+def run_queries(sf_dir: str, cores: int,
+                names: list[str] | None = None) -> dict[str, float]:
     import __spark_entry__ as entry_mod
     from binlogpipe.session import build_spark
 
@@ -283,7 +433,7 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
         (spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2000)
          .select(_wlen("text")).write.format("noop")
          .mode("overwrite").save())
-        for name in QUERY_NAMES:
+        for name in (names or QUERY_NAMES):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
@@ -416,13 +566,17 @@ def main() -> None:
     # saturation knee: local[N] shares one memory controller and one
     # JVM<->Python pipe, so 8->32 measures resource saturation, not the
     # pipeline; 1->4 measures the pipeline's own scaling (a real cluster's
-    # N->4N adds controllers and pipes with the cores)
-    n4_pair = scaling_pair(input_path, str(warm_path), n_rows,
-                           "/tmp/binlogpipe_bench", "sc_n4_",
-                           low=1, high=4, rounds=3, agg="median")
+    # N->4N adds controllers and pipes with the cores). Ceiling-gated:
+    # see gated_n4_pair.
+    n4_pair = gated_n4_pair(input_path, str(warm_path), n_rows,
+                            "/tmp/binlogpipe_bench")
 
     calib = calibrations()
     query_secs = run_queries(SF_DIR, CPUS)
+
+    sf1 = None
+    if sf >= 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") == "1":
+        sf1 = sf1_block(str(warm_path))
 
     queries = {"pipeline_e2e": t_main}
     for stage, info in main_run.get("stages", {}).items():
@@ -447,6 +601,7 @@ def main() -> None:
         "scaling_tmpfs": tmpfs_pair,
         "scaling_1_to_4": n4_pair,
         "calibrations": calib,
+        "sf1": sf1,
     }
     result = full  # delta_table reads queries + calibrations from it
 
@@ -487,13 +642,22 @@ like-with-like; all raw walls shown):
 Raw interleaved walls — 1-core: {n4_pair['walls_low']} / 4-core: {n4_pair['walls_high']}
 (per-pair efficiencies: {[round((lo / hi) / 4, 3) for lo, hi in zip(n4_pair['walls_low'], n4_pair['walls_high'])]}).
 
-Same-window 1→4 ceilings (fresh this run): pure-JVM compute (sha2)
-scales at **{calib['sha2_1_4']['efficiency']:.3f}**, the Python bridge at
-**{calib['bridge_1_4']['efficiency']:.3f}** — host contention caps what ANY
-job can record in this window. Pipeline/compute-ceiling utilization:
-**{min(1.0, n4_pair['efficiency'] / max(calib['sha2_1_4']['efficiency'], 1e-9)):.2f}**
-(the pair's efficiency read against the window's own compute ceiling
-rather than an ideal host).
+The pair is CEILING-GATED (bench.gated_n4_pair): a fresh pure-JVM sha2
+1→4 ceiling is probed before the pair (gate ≥{N4_CEILING_MIN}, bounded
+re-probes) and again after; a sub-0.8 pair from a window whose ceiling
+was below the gate is retried once, and the recorded pair is the attempt
+from the healthiest window — every probe and attempt is in the artifact
+(`scaling_1_to_4.window_probes`, `.all_pair_attempts`). This run:
+ceiling pre **{n4_pair['ceiling_pre']:.3f}** / post
+**{n4_pair['ceiling_post']:.3f}**, pair attempts
+{len(n4_pair['all_pair_attempts'])}, pipeline/ceiling utilization
+**{n4_pair['ceiling_utilization']:.2f}** (the pair's efficiency read
+against the window's own compute ceiling rather than an ideal host —
+host contention caps what ANY job can record in a window).
+
+Same-window 1→4 ceilings from the calibration pass: pure-JVM compute
+(sha2) **{calib['sha2_1_4']['efficiency']:.3f}**, Python bridge
+**{calib['bridge_1_4']['efficiency']:.3f}**.
 
 The pipeline itself scales at the contract level when N→4N actually
 multiplies the binding per-host resources (memory controller, JVM↔Python
@@ -540,6 +704,15 @@ Stage breakdown: {json.dumps({k: v.get('wall_sec') for k, v in main_run.get('sta
 Query timings at sf={sf} ({CPUS} cores, noop-write-forced, sec):
 {json.dumps(query_secs, indent=0)}
 
+## sf1.0 (10x bench scale, recorded once per round)
+
+{("skipped (SPARK_GRAFT_SF1=0 or smoke sf)" if sf1 is None else
+  f"e2e {sf1['e2e_sec']:.1f}s over {sf1['rows']:,} events = "
+  f"{sf1['throughput_seq_per_sec']:,.0f} seq/s at {CPUS} cores. "
+  f"Stages: {json.dumps(sf1['stages'])}. "
+  f"Scale-sensitive query family on the 10x doc replica "
+  f"({sf1['doc_replica']}): {json.dumps(sf1['queries'])}")}
+
 Reference publishes no numbers (BASELINE.md §1); the operative comparison
 is this harness re-run per round (BENCH_r{{N}}.json).
 {delta_md}
@@ -562,9 +735,23 @@ is this harness re-run per round (BENCH_r{{N}}.json).
             "disk_8_32": disk_pair["efficiency"],
             "tmpfs_8_32": tmpfs_pair["efficiency"],
             "n1_to_4_median3": n4_pair["efficiency"],
+            "n1_to_4_ceiling_pre": n4_pair["ceiling_pre"],
+            "n1_to_4_ceiling_post": n4_pair["ceiling_post"],
+            "n1_to_4_ceiling_utilization": n4_pair["ceiling_utilization"],
         },
         "n1_to_4_walls": {"low": n4_pair["walls_low"],
-                          "high": n4_pair["walls_high"]},
+                          "high": n4_pair["walls_high"],
+                          "pair_effs": [
+                              round((lo / hi) / 4, 3) for lo, hi in
+                              zip(n4_pair["walls_low"],
+                                  n4_pair["walls_high"])],
+                          "attempts": len(n4_pair["all_pair_attempts"])},
+        "sf1": (None if sf1 is None else {
+            "e2e_sec": sf1["e2e_sec"],
+            "seq_per_sec": sf1["throughput_seq_per_sec"],
+            "route": sf1["stages"].get("route"),
+            "decode": sf1["stages"].get("decode"),
+            "queries": sf1["queries"]}),
         "anchors": {"sha2_eff": calib["sha2"]["efficiency"],
                     "bridge_eff": calib["bridge"]["efficiency"],
                     "sha2_1_4_eff": calib["sha2_1_4"]["efficiency"],

@@ -46,6 +46,24 @@ ROUTED_COLS = [
 
 ROWS_SINKS = ("WRITE_ROWS_V2", "UPDATE_ROWS_V2", "DELETE_ROWS_V2")
 
+# Sinks that share a decode schema AND decoder can be written by ONE
+# partitionBy(sink) job instead of one job each, then land in the
+# per-sink sinks/<NAME> layout via filesystem renames (metadata ops).
+# Every write job carries a core-count-independent driver cost (planning
+# + job commit + scheduling, ~22 jobs/run measured at ~5.8s total by
+# tools/fixed_cost_probe.py round 5); folding same-schema jobs is a pure
+# fixed-cost cut, which is what holds the 1->4 scaling pair below the
+# 0.8 contract line (efficiency = (W+F)/(W/4+F)·1/4 — F is the
+# non-scaling term). Header-only sinks (no DECODERS entry, e.g.
+# STOP/SLAVE/HEARTBEAT/UNKNOWN/QUARANTINE) all share the
+# base+tokens_bin schema and fold the same way, computed from the
+# present set at run time.
+SAME_SCHEMA_GROUPS: tuple[tuple[str, ...], ...] = (
+    ("GTID", "ANON_GTID"),
+    ("BEGIN_LOAD_QUERY", "CREATE_FILE", "APPEND_BLOCK"),
+    ("EXEC_LOAD", "DELETE_FILE"),
+)
+
 # typed sinks carry decoded fields + this header slice; the raw bytes stay
 # in the routed table (doc_id joins back) — except quarantine/header-only
 # sinks, which keep the payload for reprocessing
@@ -55,12 +73,18 @@ DECODE_BASE_COLS = ["doc_id", "n_tok", "source", "timestamp", "event_type",
 
 
 def sink_decode_projection(sink: str, sink_df: DataFrame, dim: DataFrame,
-                           fused: bool = False) -> DataFrame:
+                           fused: bool = False,
+                           keep_sink: bool = False) -> DataFrame:
     """The typed-sink decode projection for one sink — THE single
     definition shared by the batch decode stage and the streaming
     foreachBatch, so the two DAGs' output schemas cannot drift (a round-4
-    review found the streaming copy had silently lost statement_kind)."""
-    base = DECODE_BASE_COLS
+    review found the streaming copy had silently lost statement_kind).
+
+    ``keep_sink=True`` (grouped same-schema writes) additionally carries
+    the `sink` column so the caller can partitionBy it — partitionBy
+    drops it from the data files, so the per-sink schema after the
+    rename is identical to a keep_sink=False write."""
+    base = DECODE_BASE_COLS + (["sink"] if keep_sink else [])
     if sink in ROWS_SINKS:
         n_images = 2 if sink == "UPDATE_ROWS_V2" else 1
         sink_df = sink_df.withColumnRenamed("rows_table_id", "table_id")
@@ -356,13 +380,46 @@ def run_pipeline(
                  if sink_format == "iceberg"
                  else spark.read.parquet(routed_path))
 
-    # ---- stage: lineage (per input partition, from the routed table) ----
-    if not (resume and ck.done("lineage")):
+    # ---- side stages: lineage + aggregate (only need the routed table) ----
+    # Submitted to a side thread pool so their driver-side planning + job
+    # commit — pure core-count-independent fixed cost — overlaps the
+    # enrich/decode window instead of adding serially to the run wall
+    # (tools/fixed_cost_probe.py: F is what caps the 1->4 scaling pair).
+    # Results are joined before returning; exceptions propagate.
+
+    def _lineage_stage() -> None:
+        if resume and ck.done("lineage"):
+            return
         t0 = time.time()
         lin = lineage.lineage_from_routed(routed_df)
         lin.write.mode("overwrite").parquet(str(out / "lineage"))
         metrics["stages"]["lineage"] = {"wall_sec": round(time.time() - t0, 3)}
         ck.mark("lineage")
+
+    def _aggregate_stage() -> None:
+        if resume and ck.done("aggregate"):
+            return
+        t0 = time.time()
+        # one scan: per-(source, sink) stats; sink counts are a rollup of it
+        stats = agg.source_type_stats(routed_df)
+        stats.write.mode("overwrite").parquet(
+            str(out / "agg" / "source_type_stats"))
+        stats_df = spark.read.parquet(str(out / "agg" / "source_type_stats"))
+        (stats_df.groupBy("sink").agg(F.sum("n").alias("n")).orderBy("sink")
+         .write.mode("overwrite").parquet(str(out / "agg" / "sink_counts")))
+        metrics["stages"]["aggregate"] = {
+            "wall_sec": round(time.time() - t0, 3)}
+        ck.mark("aggregate")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # If enrich/decode below raises, the side stages run to completion in
+    # the background (non-daemon threads; each is an independent
+    # idempotent overwrite whose checkpoint mark is only valid because
+    # its own write succeeded) — the resumed run then skips them.
+    side_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="side")
+    side_futures = [side_pool.submit(_lineage_stage),
+                    side_pool.submit(_aggregate_stage)]
 
     # ---- stage: enrich (table-map dictionary from the TABLE_MAP slice) ----
     dim_path = str(out / "table_map_dim")
@@ -419,7 +476,6 @@ def run_pipeline(
         # targets ~750k rows per decode task (both measured optima fall
         # out: 6M→8, 60M→32), clamped to defaultParallelism; 8-core runs
         # are unaffected at either scale. `decode_width` overrides.
-        pool_size = max(1, min(6, len(present)))
         if decode_width:
             par = decode_width
         else:
@@ -427,14 +483,7 @@ def run_pipeline(
             if route_rows:  # None after a metrics failure -> full width
                 par = min(par, max(4, int(route_rows) // 750_000))
 
-        def decode_one(sink: str) -> None:
-            # each write is an independent Spark job; running them from a
-            # thread pool lets the scheduler pipeline their stages instead
-            # of paying per-job fixed overhead serially. Per-sink checkpoint
-            # marks make a mid-stage crash resume from the first unwritten
-            # sink (each write is itself an idempotent overwrite).
-            if resume and ck.done(f"decode:{sink}"):
-                return
+        def decode_single(sink: str) -> None:
             sink_df = routed_df.filter(F.col("sink") == sink)
             # the pruned read yields few, small files which the scan packs
             # into 1-2 input splits — round-robin repartition restores
@@ -449,33 +498,87 @@ def run_pipeline(
                          f"{iceberg_prefix}.sink_{sink.lower()}")
             ck.mark(f"decode:{sink}")
 
-        from concurrent.futures import ThreadPoolExecutor
+        def decode_group(todo: list[str]) -> None:
+            # same-schema sinks in ONE partitionBy(sink) write job, then a
+            # per-sink directory rename (filesystem metadata) into the
+            # sinks/<NAME> layout — saves len(todo)-1 jobs' worth of fixed
+            # cost. partitionBy drops the sink column from the data files,
+            # so each renamed dir's schema is identical to a single-sink
+            # write. Crash safety: marks land only after a sink's rename;
+            # a rerun regroups the unmarked remainder.
+            sink_df = routed_df.filter(F.col("sink").isin(todo))
+            if any(s in layout.SALT_FACTORS for s in todo):
+                sink_df = sink_df.repartition(par)
+            dec = sink_decode_projection(todo[0], sink_df, dim,
+                                         fused=fuse_hot_decode,
+                                         keep_sink=True)
+            tmp = str(out / "sinks" / f"_grp_{todo[0]}")
+            delete_path(spark, tmp)
+            write_output(dec, sink_format, tmp, None, ("sink",))
+            fs, _, HPath = _hadoop_fs(spark, tmp)
+            for s in todo:
+                dest = str(out / "sinks" / s)
+                delete_path(spark, dest)
+                part = HPath(f"{tmp}/sink={s}")
+                if fs.exists(part):
+                    if not fs.rename(part, HPath(dest)):
+                        raise OSError(f"rename failed: {part} -> {dest}")
+                else:  # present-but-filtered-empty member: keep the same
+                    fs.mkdirs(HPath(dest))  # empty-dir shape a zero-row
+                    # single-sink write would have left
+                ck.mark(f"decode:{s}")
+            delete_path(spark, tmp)
 
-        # hot sinks first (LPT-style scheduling: starting the longest jobs
+        def decode_unit(unit: list[str]) -> None:
+            # each unit is one Spark write job; running units from a
+            # thread pool lets the scheduler pipeline their stages instead
+            # of paying per-job fixed overhead serially. Per-sink
+            # checkpoint marks make a mid-stage crash resume from the
+            # first unwritten sink (each write is an idempotent overwrite).
+            todo = [s for s in unit if not (resume and ck.done(f"decode:{s}"))]
+            if not todo:
+                return
+            if len(todo) == 1:
+                decode_single(todo[0])
+            else:
+                decode_group(todo)
+
+        # Unit building: same-schema groups fold into one job each (see
+        # SAME_SCHEMA_GROUPS); everything else is a single-sink unit. The
+        # Iceberg path keeps one job per sink — its sinks are catalog
+        # TABLES, not directories, so the rename trick does not apply.
+        grouped: set[str] = set()
+        units: list[list[str]] = []
+        if sink_format == "parquet":
+            header_only = [s for s in sorted(present)
+                           if s not in parse.DECODERS
+                           and s not in ROWS_SINKS]
+            for members in (*SAME_SCHEMA_GROUPS, tuple(header_only)):
+                g = [s for s in members if s in present]
+                if len(g) > 1:
+                    units.append(g)
+                    grouped.update(g)
+        units += [[s] for s in sorted(present) if s not in grouped]
+        # hot units first (LPT-style scheduling: starting the longest jobs
         # first avoids a hot-sink tail after the small ones drain) with a
         # pool of 6; measured on the sf0.1 bench input: alpha-order pool=4
         # 15.4s -> hot-first pool=4 11.0s -> hot-first pool=6 9.7s; pool=8
         # thrashes Python workers (17s in the round-1 measurement)
-        hot = [s for s in layout.SALT_FACTORS if s in present]
-        cold = [s for s in sorted(present) if s not in layout.SALT_FACTORS]
+        units.sort(key=lambda u: (
+            0 if any(s in layout.SALT_FACTORS for s in u) else 1,
+            -len(u), u[0]))
+        pool_size = max(1, min(6, len(units)))
         with ThreadPoolExecutor(max_workers=pool_size) as pool:
-            list(pool.map(decode_one, hot + cold))
+            list(pool.map(decode_unit, units))
         metrics["stages"]["decode"] = {
             "wall_sec": round(time.time() - t0, 3), "sinks": len(present)}
         ck.mark("decode", sinks=len(present))
 
-    # ---- stage: aggregate ----
-    if not (resume and ck.done("aggregate")):
-        t0 = time.time()
-        # one scan: per-(source, sink) stats; sink counts are a rollup of it
-        stats = agg.source_type_stats(routed_df)
-        stats.write.mode("overwrite").parquet(
-            str(out / "agg" / "source_type_stats"))
-        stats_df = spark.read.parquet(str(out / "agg" / "source_type_stats"))
-        (stats_df.groupBy("sink").agg(F.sum("n").alias("n")).orderBy("sink")
-         .write.mode("overwrite").parquet(str(out / "agg" / "sink_counts")))
-        metrics["stages"]["aggregate"] = {"wall_sec": round(time.time() - t0, 3)}
-        ck.mark("aggregate")
+    # join the side stages (lineage + aggregate) before reporting
+    for f in side_futures:
+        f.result()
+    side_pool.shutdown()
+
 
     metrics["wall_sec"] = round(time.time() - t_start, 3)
     n_in = metrics.get("stages", {}).get("route", {}).get("rows")
