@@ -162,10 +162,33 @@ def run_pipeline_at(cores: int, input_path: str, tag: str,
         spark.stop()
 
 
+def pinned_cell(kind: str, cores: int, **spec) -> dict:
+    """Run one bench cell in a fresh subprocess pinned to exactly `cores`
+    CPUs (tools/bench_cell.py has the full rationale: pyspark reuses one
+    JVM gateway per process, so affinity must be set in a child process;
+    pinning is the cgroup-faithful analog of an executor core budget —
+    unpinned local[1] free-rides ~1.45 cores via Python UDF workers and
+    JVM service threads, deflating every 1->4N ratio)."""
+    import subprocess
+
+    spec.update({"kind": kind, "cores": cores, "repo": str(REPO)})
+    p = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_cell.py"),
+         json.dumps(spec)],
+        capture_output=True, text=True, check=False)
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith("CELL "):
+            return json.loads(line[5:])
+    raise RuntimeError(
+        f"bench cell {kind}@{cores}c produced no result; stderr tail: "
+        + p.stderr[-2000:])
+
+
 def scaling_pair(input_path: str, warm_path: str, n_rows: int,
                  out_base: str, label: str,
                  low: int | None = None, high: int | None = None,
-                 rounds: int | None = None, agg: str = "best") -> dict:
+                 rounds: int | None = None, agg: str = "best",
+                 pin: bool = False) -> dict:
     """Interleaved N/4N pair (one timed run per level per round).
     Defaults to the contract 8/32 pair; callers may pick another N→4N
     instantiation (the 1/4 pair below runs BELOW the single-JVM
@@ -184,9 +207,18 @@ def scaling_pair(input_path: str, warm_path: str, n_rows: int,
     runs: dict[int, list[dict]] = {low: [], high: []}
     for _ in range(rounds):
         for cores in (low, high):
-            runs[cores].append(
-                run_pipeline_at(cores, input_path, f"{label}{cores}",
-                                warm_path, out_base, n_timed=1))
+            if pin:
+                c = pinned_cell("pipeline", cores, input=input_path,
+                                tag=f"{label}{cores}", warm=warm_path,
+                                out_base=out_base, n_timed=1)
+                runs[cores].append(
+                    {"bench_wall_sec": c["wall"],
+                     "stages": {k: {"wall_sec": v}
+                                for k, v in c.get("stages", {}).items()}})
+            else:
+                runs[cores].append(
+                    run_pipeline_at(cores, input_path, f"{label}{cores}",
+                                    warm_path, out_base, n_timed=1))
 
     def _pick(cores: int) -> dict:
         rs = sorted(runs[cores], key=lambda r: r["bench_wall_sec"])
@@ -196,7 +228,7 @@ def scaling_pair(input_path: str, warm_path: str, n_rows: int,
     t_low = pick_low["bench_wall_sec"]
     t_high = pick_high["bench_wall_sec"]
     return {
-        "cores_low": low, "cores_high": high,
+        "cores_low": low, "cores_high": high, "pinned": pin,
         "wall_low_sec": t_low, "wall_high_sec": t_high,
         "walls_low": [r["bench_wall_sec"] for r in runs[low]],
         "walls_high": [r["bench_wall_sec"] for r in runs[high]],
@@ -211,14 +243,20 @@ def scaling_pair(input_path: str, warm_path: str, n_rows: int,
     }
 
 
-def sha2_pair(low: int, high: int, rows: int) -> dict:
+def sha2_pair(low: int, high: int, rows: int, pin: bool = False) -> dict:
     """Fresh pure-JVM compute ceiling for a low/high core pair: the sha2
     chain touches no scan, no shuffle, no Python — its N->4N efficiency
-    is the best ANY job can record in the current host window."""
+    is the best ANY job can record in the current host window. With
+    pin=True each cell runs in a cpuset of exactly its core count (the
+    gate probe must share the pair's methodology or it gauges a different
+    machine)."""
     from binlogpipe.session import build_spark
 
     walls = {}
     for cores in (low, high):
+        if pin:
+            walls[cores] = pinned_cell("sha2", cores, rows=rows)["wall"]
+            continue
         spark = build_spark(app=f"sha2-{cores}", cores=cores)
         try:
             spark.range(1000).selectExpr("sum(id)").collect()
@@ -236,7 +274,14 @@ def sha2_pair(low: int, high: int, rows: int) -> dict:
 
 def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
                   out_base: str) -> dict:
-    """The contract 1->4 pair, ceiling-gated (see N4_CEILING_MIN above).
+    """The contract 1->4 pair, ceiling-gated (see N4_CEILING_MIN above),
+    with every cell CPU-PINNED to exactly its core budget in a fresh
+    subprocess (tools/bench_cell.py): a YARN/K8s executor's cores are a
+    cgroup budget covering the JVM and its Python UDF workers, while an
+    unpinned local[1] free-rides ~1.45 host cores through the workers and
+    JVM service threads (bridge cell 6.04s unpinned vs 8.75s pinned),
+    under-measuring the 1-core wall and deflating the ratio — pinning is
+    the faithful sandbox analog of N-core vs 4N-core executors.
 
     Protocol, all steps recorded in the returned dict:
     1. probe the window (fresh sha2 1->4 ceiling); if below the gate,
@@ -254,7 +299,7 @@ def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
     for _ in range(N4_PAIR_ATTEMPTS):
         pre = None
         for p in range(N4_PROBE_ATTEMPTS):
-            pre = sha2_pair(1, 4, 20_000_000)
+            pre = sha2_pair(1, 4, 20_000_000, pin=True)
             probes.append(pre)
             if pre["efficiency"] >= N4_CEILING_MIN:
                 break
@@ -262,8 +307,8 @@ def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
                 time.sleep(N4_PROBE_WAIT_SEC)
         pair = scaling_pair(input_path, warm_path, n_rows, out_base,
                             f"sc_n4a{len(pairs)}_", low=1, high=4,
-                            rounds=3, agg="median")
-        post = sha2_pair(1, 4, 20_000_000)
+                            rounds=3, agg="median", pin=True)
+        post = sha2_pair(1, 4, 20_000_000, pin=True)
         probes.append(post)
         pair["ceiling_pre"] = pre["efficiency"]
         pair["ceiling_post"] = post["efficiency"]
@@ -280,6 +325,15 @@ def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
             break
     best = max(pairs, key=lambda q: min(q["ceiling_pre"], q["ceiling_post"]))
     best = dict(best)
+    # same-window UNPINNED single-round pair: quantifies how much the
+    # local-mode free-ride (Python workers + JVM service threads escaping
+    # the nominal 1-core budget) deflates the ratio — recorded alongside,
+    # never as the contract number
+    best["unpinned_reference"] = {
+        k: v for k, v in scaling_pair(
+            input_path, warm_path, n_rows, out_base, "sc_n4unp_",
+            low=1, high=4, rounds=1, agg="best", pin=False).items()
+        if k in ("wall_low_sec", "wall_high_sec", "efficiency")}
     best["window_probes"] = probes
     best["all_pair_attempts"] = [
         {k: q[k] for k in ("efficiency", "wall_low_sec", "wall_high_sec",
@@ -317,6 +371,13 @@ def calibrations() -> dict:
                                   (1, 4, "_1_4")):
             walls = {}
             for cores in (low, high):
+                if suffix == "_1_4":
+                    # pinned like the contract pair it gauges (the 8/32
+                    # saturation pair stays unpinned: local[32] IS the
+                    # whole host, there is no budget to escape)
+                    spec = ({"rows": 20_000_000} if kind == "sha2" else {})
+                    walls[cores] = pinned_cell(kind, cores, **spec)["wall"]
+                    continue
                 spark = build_spark(app=f"calib-{kind}-{cores}", cores=cores)
                 try:
                     spark.range(1000).selectExpr("sum(id)").collect()
@@ -633,7 +694,19 @@ saturation knee (local[1] vs local[4], same job + input, interleaved
 ×3, MEDIAN per level — the 1-core wall drifts ±7% run-to-run on this
 shared host while the 4-core wall is stable, so best-of could pair a
 lucky 4-core wall with an unlucky 1-core one; median pairs
-like-with-like; all raw walls shown):
+like-with-like; all raw walls shown). Each cell is CPU-PINNED to
+exactly its core budget in a fresh process (tools/bench_cell.py): a
+real cluster enforces an executor's N cores as a cgroup budget covering
+the JVM AND its Python UDF workers, whereas an unpinned local[1]
+free-rides ~1.45 host cores through the UDF workers and JVM service
+threads (measured: identity-UDF bridge cell 6.04s unpinned vs 8.75s
+pinned at 1 core), under-measuring the 1-core wall and deflating the
+ratio — pinned cells are the faithful sandbox analog of N-core vs
+4N-core executors. The same-window UNPINNED pair is recorded alongside
+for transparency: {n4_pair['unpinned_reference']['efficiency']:.3f}
+({n4_pair['unpinned_reference']['wall_low_sec']:.1f}s /
+{n4_pair['unpinned_reference']['wall_high_sec']:.1f}s), quantifying the
+free-ride deflation.
 
 | pair | N wall (median) | 4N wall (median) | tput N | tput 4N | efficiency |
 |---|---|---|---|---|---|
@@ -672,10 +745,10 @@ cluster's N→4N executor scale-up is the 1→4 regime, not the 8→32 one.
 | sha2 chain, 160M rows (pure JVM compute) | {calib['sha2'][f'wall_{SCALE_LOW}c']}s | {calib['sha2'][f'wall_{SCALE_HIGH}c']}s | **{calib['sha2']['efficiency']:.3f}** | the window's compute ceiling at {SCALE_LOW}→{SCALE_HIGH} |
 | identity pandas UDF, 6M cached rows (JVM↔Python Arrow bridge) | {calib['bridge'][f'wall_{SCALE_LOW}c']}s | {calib['bridge'][f'wall_{SCALE_HIGH}c']}s | **{calib['bridge']['efficiency']:.3f}** | the bridge is a fixed ~0.6 GB/s PER-HOST pipe — flat wall at any core count |
 
-| probe | 1c | 4c | efficiency | meaning |
+| probe (cells CPU-pinned to their core budget, like the 1→4 pair) | 1c | 4c | efficiency | meaning |
 |---|---|---|---|---|
 | sha2 chain, 20M rows | {calib['sha2_1_4']['wall_1c']}s | {calib['sha2_1_4']['wall_4c']}s | **{calib['sha2_1_4']['efficiency']:.3f}** | the window's compute ceiling at 1→4 — gauges the 1→4 pair above |
-| identity pandas UDF, 6M cached rows | {calib['bridge_1_4']['wall_1c']}s | {calib['bridge_1_4']['wall_4c']}s | **{calib['bridge_1_4']['efficiency']:.3f}** | below the knee the bridge still scales — it saturates only past ~8 threads |
+| identity pandas UDF, 6M cached rows | {calib['bridge_1_4']['wall_1c']}s | {calib['bridge_1_4']['wall_4c']}s | **{calib['bridge_1_4']['efficiency']:.3f}** | the bridge's own pinned 1→4 ceiling (~70% of decode wall crosses it) |
 
 Methodology: all pairs interleaved ({SCALE_LOW}, {SCALE_HIGH}) × {SCALE_ROUNDS}
 in one window because this sandbox's shared-host throughput swings multi-x
@@ -735,6 +808,9 @@ is this harness re-run per round (BENCH_r{{N}}.json).
             "disk_8_32": disk_pair["efficiency"],
             "tmpfs_8_32": tmpfs_pair["efficiency"],
             "n1_to_4_median3": n4_pair["efficiency"],
+            "n1_to_4_pinned": n4_pair["pinned"],
+            "n1_to_4_unpinned_ref": n4_pair["unpinned_reference"][
+                "efficiency"],
             "n1_to_4_ceiling_pre": n4_pair["ceiling_pre"],
             "n1_to_4_ceiling_post": n4_pair["ceiling_post"],
             "n1_to_4_ceiling_utilization": n4_pair["ceiling_utilization"],

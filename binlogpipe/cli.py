@@ -110,17 +110,38 @@ def cmd_stream(args) -> None:
     fmt = "binlog" if args.binlog else "parquet"
     if args.follow:
         # live mode (the actual `conn` shape): poll the input dir every
-        # --interval forever, processing files as they appear; Ctrl-C (or
-        # q.stop() from another thread) ends it, and re-invoking with the
-        # same checkpoint resumes past every committed batch
+        # --interval forever, processing files as they appear; SIGINT/
+        # SIGTERM ends it gracefully, and re-invoking with the same
+        # checkpoint resumes past every committed batch.
+        #
+        # Graceful shutdown must NOT rely on KeyboardInterrupt escaping
+        # q.awaitTermination(): a default SIGINT during that call lands
+        # while the main thread is blocked in py4j's socket recv, where
+        # py4j catches the interrupt and re-raises it as Py4JNetworkError
+        # ("Error while sending or receiving") — killing the process with
+        # a stack trace, no status line, and a broken gateway connection
+        # (caught by test_follow_sigint_graceful_shutdown). Instead: a
+        # NON-raising handler sets a flag, so the interrupted recv is
+        # auto-retried (PEP 475) and the bounded awaitTermination returns
+        # normally; the loop then stops the query and falls through to
+        # the status line.
+        import signal
+
+        stop_requested: list[int] = []
+        prev = {s: signal.signal(s, lambda *_: stop_requested.append(1))
+                for s in (signal.SIGINT, signal.SIGTERM)}
         q = streaming.start_full_live(
             spark, args.input, args.out, ck, interval=args.interval,
             max_files_per_trigger=args.max_files_per_trigger,
             input_format=fmt)
         try:
-            q.awaitTermination()
-        except KeyboardInterrupt:
-            q.stop()
+            while q.isActive and not stop_requested:
+                q.awaitTermination(1)
+        finally:
+            if q.isActive:
+                q.stop()
+            for s, h in prev.items():
+                signal.signal(s, h)
     else:
         streaming.run_full_available_now(
             spark, args.input, args.out, ck,

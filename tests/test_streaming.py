@@ -467,3 +467,65 @@ def test_live_follow_raw_binlog(spark, tmp_path):
     stream_sinks = {p.name: spark.read.parquet(str(p)).count()
                     for p in sorted((out / "sinks").iterdir())}
     assert stream_sinks == batch_sinks
+
+
+def test_follow_sigint_graceful_shutdown(spark, fixture_parquet, tmp_path):
+    """SIGINT path of `cli stream --follow` (the conn loop's Ctrl-C,
+    cli.py cmd_stream): only the API-level q.stop() is covered elsewhere,
+    so this drives the real CLI in a subprocess — after a committed
+    batch, SIGINT must stop the query, print the final JSON status line,
+    exit 0, and leave the checkpoint resumable (a later drain processes
+    new files as the NEXT batch without reprocessing committed ones)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(fixture_parquet)
+    n = len(pdf)
+    d = tmp_path / "sig_in"
+    d.mkdir()
+    out = tmp_path / "sig_out"
+    ck = tmp_path / "ck_sig"
+    pdf.iloc[:n // 2].to_parquet(d / "part-0.parquet")
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4", "PYTHONPATH": repo}
+    p = subprocess.Popen(
+        [sys.executable, "-m", "binlogpipe.cli", "stream", str(d),
+         str(out), "--follow", "--interval", "500 milliseconds",
+         "--checkpoint", str(ck)],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True)
+    try:
+        t0 = time.time()
+        while not (ck / "commits" / "0").exists():
+            assert p.poll() is None, "follow exited before first commit"
+            assert time.time() - t0 < 180, "batch 0 never committed"
+            time.sleep(0.3)
+        p.send_signal(signal.SIGINT)
+        stdout, _ = p.communicate(timeout=90)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, f"exit {p.returncode}; stdout: {stdout[-500:]}"
+    status = json.loads(stdout.strip().splitlines()[-1])
+    assert status["checkpoint"] == str(ck) and status["sinks"], status
+
+    assert spark.read.parquet(str(out / "routed")).count() == n // 2
+
+    # checkpoint survived the interrupt: the remaining rows drain as the
+    # next batch, committed work is not reprocessed
+    pdf.iloc[n // 2:].to_parquet(d / "part-1.parquet")
+    streaming.run_full_available_now(spark, str(d), str(out), str(ck))
+    routed = spark.read.parquet(str(out / "routed"))
+    assert routed.count() == n
+    batches = {p.name for p in (out / "routed").glob("batch=*")}
+    assert batches == {"batch=0", "batch=1"}, batches
+    got = {q.name: spark.read.parquet(str(q)).count()
+           for q in sorted((out / "sinks").iterdir())}
+    assert got == GOLDEN_COUNTS
