@@ -81,6 +81,19 @@ N4_CEILING_MIN = float(os.environ.get("BENCH_N4_CEILING_MIN", "0.85"))
 N4_PROBE_ATTEMPTS = int(os.environ.get("BENCH_N4_PROBE_ATTEMPTS", "3"))
 N4_PROBE_WAIT_SEC = int(os.environ.get("BENCH_N4_PROBE_WAIT_SEC", "150"))
 N4_PAIR_ATTEMPTS = int(os.environ.get("BENCH_N4_PAIR_ATTEMPTS", "2"))
+# The 1->4 pair runs on an input this many times the bench sf (2x sf0.1 =
+# 12M events) so the pair is W-DOMINATED like the contract regime. The
+# contract is "N vs 4N executors at 10^12 sequences" — hours of work per
+# executor-core, where per-RUN fixed cost F (driver planning, job
+# commits, worker spin-up; ~24s measured under a pinned 1-core budget,
+# round-6 appendix) is invisible. At the 6M bench input the pinned pair
+# is capped at (W+F)/(4*(W/4+F)) ~= 0.78 BY CONSTRUCTION (W~=232s): no
+# window is good enough, which round 6 measured as 0.71-0.75 recorded
+# pairs against 0.87+ ceilings. Doubling W moves the structural cap to
+# ~0.87 and halves the relative window noise; the input size is recorded
+# in the artifact (`n1_to_4_input_rows`) and the 6M/24M measured curve
+# (0.741 / see appendix) documents the F-dependence transparently.
+N4_INPUT_MULT = float(os.environ.get("BENCH_N4_INPUT_MULT", "2"))
 
 # untouched-JVM query anchor for cross-round delta normalization: this
 # query's code never changes round-to-round, so its wall measures the
@@ -171,24 +184,57 @@ def pinned_cell(kind: str, cores: int, **spec) -> dict:
     JVM service threads, deflating every 1->4N ratio)."""
     import subprocess
 
+    timeout_sec = spec.pop("timeout_sec", None)
     spec.update({"kind": kind, "cores": cores, "repo": str(REPO)})
-    p = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "bench_cell.py"),
-         json.dumps(spec)],
-        capture_output=True, text=True, check=False)
-    for line in reversed(p.stdout.splitlines()):
-        if line.startswith("CELL "):
-            return json.loads(line[5:])
-    raise RuntimeError(
-        f"bench cell {kind}@{cores}c produced no result; stderr tail: "
-        + p.stderr[-2000:])
+    # Wedge watchdog: the rare PythonRunner flow-control deadlock (JVM
+    # task thread in ReaderInputStream.read's selector, Python worker in
+    # sk_stream_wait_memory — see session.py's speculation comment) is
+    # UNRESCUABLE in local mode (TaskSchedulerImpl only starts its
+    # speculation thread when !isLocal), and its per-cell hazard grows
+    # with Arrow batches per task: round 6 reproduced it on the FIRST
+    # pinned 1-core 24M cell (~4x the batches of the 6M cells that ran
+    # clean ~10x). A wedged cell burns ~0 CPU forever, so an unwatched
+    # bench would stall the whole round artifact. On timeout: kill the
+    # cell's process group (the JVM is a grandchild), retry ONCE, and
+    # record the retry in the result — never a silent do-over.
+    retries = 0
+    while True:
+        p = subprocess.Popen(
+            [sys.executable, str(REPO / "tools" / "bench_cell.py"),
+             json.dumps(spec)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            start_new_session=True)
+        try:
+            out_s, err_s = p.communicate(timeout=timeout_sec)
+        except subprocess.TimeoutExpired:
+            import signal as _sig
+
+            try:
+                os.killpg(p.pid, _sig.SIGKILL)
+            except ProcessLookupError:
+                pass
+            p.wait()
+            if retries >= 1:
+                raise RuntimeError(
+                    f"bench cell {kind}@{cores}c wedged twice "
+                    f"(timeout {timeout_sec}s; PythonRunner deadlock?)")
+            retries += 1
+            continue
+        for line in reversed(out_s.splitlines()):
+            if line.startswith("CELL "):
+                out = json.loads(line[5:])
+                out["wedge_retries"] = retries
+                return out
+        raise RuntimeError(
+            f"bench cell {kind}@{cores}c produced no result; stderr tail: "
+            + err_s[-2000:])
 
 
 def scaling_pair(input_path: str, warm_path: str, n_rows: int,
                  out_base: str, label: str,
                  low: int | None = None, high: int | None = None,
                  rounds: int | None = None, agg: str = "best",
-                 pin: bool = False) -> dict:
+                 pin: bool = False, subproc: bool = False) -> dict:
     """Interleaved N/4N pair (one timed run per level per round).
     Defaults to the contract 8/32 pair; callers may pick another N→4N
     instantiation (the 1/4 pair below runs BELOW the single-JVM
@@ -207,10 +253,18 @@ def scaling_pair(input_path: str, warm_path: str, n_rows: int,
     runs: dict[int, list[dict]] = {low: [], high: []}
     for _ in range(rounds):
         for cores in (low, high):
-            if pin:
+            if pin or subproc:
+                # watchdog timeout ~2.6x the measured per-row cost of the
+                # slowest healthy pinned cell (6M@1c ≈ 255s ≈ 43us/row) —
+                # a wedged cell burns no CPU, so the only cost of the
+                # margin is wall time in the rare deadlock case.
+                # subproc-without-pin cells exist for the watchdog alone
+                # (deliberately unpinned methodology, e.g. the free-ride
+                # reference pair).
                 c = pinned_cell("pipeline", cores, input=input_path,
                                 tag=f"{label}{cores}", warm=warm_path,
-                                out_base=out_base, n_timed=1)
+                                out_base=out_base, n_timed=1, pin=pin,
+                                timeout_sec=120 + n_rows * 110e-6 / cores)
                 runs[cores].append(
                     {"bench_wall_sec": c["wall"],
                      "stages": {k: {"wall_sec": v}
@@ -255,7 +309,8 @@ def sha2_pair(low: int, high: int, rows: int, pin: bool = False) -> dict:
     walls = {}
     for cores in (low, high):
         if pin:
-            walls[cores] = pinned_cell("sha2", cores, rows=rows)["wall"]
+            walls[cores] = pinned_cell("sha2", cores, rows=rows,
+                                       timeout_sec=600)["wall"]
             continue
         spark = build_spark(app=f"sha2-{cores}", cores=cores)
         try:
@@ -332,7 +387,8 @@ def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
     best["unpinned_reference"] = {
         k: v for k, v in scaling_pair(
             input_path, warm_path, n_rows, out_base, "sc_n4unp_",
-            low=1, high=4, rounds=1, agg="best", pin=False).items()
+            low=1, high=4, rounds=1, agg="best", pin=False,
+            subproc=True).items()
         if k in ("wall_low_sec", "wall_high_sec", "efficiency")}
     best["window_probes"] = probes
     best["all_pair_attempts"] = [
@@ -376,7 +432,8 @@ def calibrations() -> dict:
                     # saturation pair stays unpinned: local[32] IS the
                     # whole host, there is no budget to escape)
                     spec = ({"rows": 20_000_000} if kind == "sha2" else {})
-                    walls[cores] = pinned_cell(kind, cores, **spec)["wall"]
+                    walls[cores] = pinned_cell(
+                        kind, cores, timeout_sec=600, **spec)["wall"]
                     continue
                 spark = build_spark(app=f"calib-{kind}-{cores}", cores=cores)
                 try:
@@ -451,9 +508,21 @@ def synth_sf1_docs(src_dir: str) -> str:
 
 def sf1_block(warm_path: str) -> dict:
     """Once-per-round sf1.0 cells (60M events e2e + the scale-sensitive
-    query family on the 10x doc replica); see SF1_QUERY_NAMES note."""
+    query family on the 10x doc replica); see SF1_QUERY_NAMES note.
+
+    The e2e run goes through the watchdogged subprocess cell: 60M-event
+    UDF stages are the historical wedge case for the local-mode
+    PythonRunner deadlock (round 5: 2 wedges in ~15 such runs, and local
+    mode cannot speculate a rescue) — in-process it would stall the
+    whole round artifact. cores=CPUS makes the cpuset the full host
+    mask, so pinning is a no-op there; the watchdog is what it buys."""
     input_path, n_rows = synth_input(1.0)
-    run = run_pipeline_at(CPUS, input_path, "sf1", warm_path, n_timed=1)
+    c = pinned_cell("pipeline", CPUS, input=input_path, tag="sf1",
+                    warm=warm_path, n_timed=1,
+                    timeout_sec=120 + n_rows * 110e-6 / 8)
+    run = {"bench_wall_sec": c["wall"],
+           "stages": {k: {"wall_sec": v}
+                      for k, v in c.get("stages", {}).items()}}
     docs_dir = synth_sf1_docs(SF_DIR)
     q = run_queries(docs_dir, CPUS, names=SF1_QUERY_NAMES)
     return {
@@ -627,10 +696,13 @@ def main() -> None:
     # saturation knee: local[N] shares one memory controller and one
     # JVM<->Python pipe, so 8->32 measures resource saturation, not the
     # pipeline; 1->4 measures the pipeline's own scaling (a real cluster's
-    # N->4N adds controllers and pipes with the cores). Ceiling-gated:
-    # see gated_n4_pair.
-    n4_pair = gated_n4_pair(input_path, str(warm_path), n_rows,
+    # N->4N adds controllers and pipes with the cores). Ceiling-gated
+    # (gated_n4_pair) and W-dominated (N4_INPUT_MULT x the bench input —
+    # the contract regime's fixed-cost share, see the constant's comment).
+    n4_input_path, n4_rows = synth_input(sf * N4_INPUT_MULT)
+    n4_pair = gated_n4_pair(n4_input_path, str(warm_path), n4_rows,
                             "/tmp/binlogpipe_bench")
+    n4_pair["input_rows"] = n4_rows
 
     calib = calibrations()
     query_secs = run_queries(SF_DIR, CPUS)
@@ -690,11 +762,19 @@ full parse→enrich→route→aggregate DAG (typed sinks + aggregates + lineage)
 | tmpfs (/dev/shm — storage scales with threads) | {tmpfs_pair['wall_low_sec']:.1f}s | {tmpfs_pair['wall_high_sec']:.1f}s | {tmpfs_pair['throughput_low']:,.0f}/s | {tmpfs_pair['throughput_high']:,.0f}/s | **{tmpfs_pair['efficiency']:.3f}** |
 
 Second instantiation of the same N→4N rule, below the single-JVM
-saturation knee (local[1] vs local[4], same job + input, interleaved
+saturation knee (local[1] vs local[4], same job, interleaved
 ×3, MEDIAN per level — the 1-core wall drifts ±7% run-to-run on this
 shared host while the 4-core wall is stable, so best-of could pair a
 lucky 4-core wall with an unlucky 1-core one; median pairs
-like-with-like; all raw walls shown). Each cell is CPU-PINNED to
+like-with-like; all raw walls shown). The pair's input is
+{n4_pair['input_rows']:,} events ({N4_INPUT_MULT:g}× the bench sf) so it
+is W-DOMINATED like the contract regime: the rule is "N vs 4N executors
+at 10^12 sequences" — hours of work per executor-core, where the per-run
+fixed cost F (driver planning + job commits + worker spin-up, ~24s under
+a pinned 1-core budget, round-6 appendix) is invisible, whereas at the
+6M bench input F alone caps the pinned pair at
+(W+F)/(4·(W/4+F)) ≈ 0.78 by construction — the measured input-size curve
+(6M: 0.741 / 24M: see round-6 appendix) pins that model. Each cell is CPU-PINNED to
 exactly its core budget in a fresh process (tools/bench_cell.py): a
 real cluster enforces an executor's N cores as a cgroup budget covering
 the JVM AND its Python UDF workers, whereas an unpinned local[1]
@@ -808,6 +888,7 @@ is this harness re-run per round (BENCH_r{{N}}.json).
             "disk_8_32": disk_pair["efficiency"],
             "tmpfs_8_32": tmpfs_pair["efficiency"],
             "n1_to_4_median3": n4_pair["efficiency"],
+            "n1_to_4_input_rows": n4_pair["input_rows"],
             "n1_to_4_pinned": n4_pair["pinned"],
             "n1_to_4_unpinned_ref": n4_pair["unpinned_reference"][
                 "efficiency"],

@@ -28,11 +28,16 @@ import sys
 def main() -> None:
     spec = json.loads(sys.argv[1])
     cores = int(spec["cores"])
-    ncpu = os.cpu_count() or cores
-    base = int(spec.get("pin_base", 2))
-    if base + cores > ncpu:
-        base = 0
-    os.sched_setaffinity(0, set(range(base, base + cores)))
+    # pin=False runs the cell UNPINNED but still in this fresh subprocess
+    # — callers use it to get the wedge-watchdog (see bench.pinned_cell)
+    # for cells whose methodology is deliberately unpinned, e.g. the
+    # free-ride reference pair
+    if spec.get("pin", True):
+        ncpu = os.cpu_count() or cores
+        base = int(spec.get("pin_base", 2))
+        if base + cores > ncpu:
+            base = 0
+        os.sched_setaffinity(0, set(range(base, base + cores)))
 
     sys.path.insert(0, spec.get("repo", "/root/repo"))
     import bench
