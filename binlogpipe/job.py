@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import aggregate as agg
-from . import enrich, layout, lineage, parse, route
+from . import enrich, jvm_decode, layout, lineage, parse, route
 
 # routed table stores tokens packed as binary (lossless; parquet
 # list<int32> encode was the dominant, non-scaling write cost) plus the
@@ -100,6 +100,13 @@ def sink_decode_projection(sink: str, sink_df: DataFrame, dim: DataFrame,
         dec = sink_df.select(
             *base, *[F.col(pref + f.name).alias(f.name)
                      for f in parse.FUSED_SCHEMAS[pref].fields])
+    elif jvm_decode.enabled() and sink in jvm_decode.JVM_DECODERS:
+        # fixed-layout sinks decode as pure Catalyst expressions — no
+        # bridge crossing at all for ~62% of rows (jvm_decode.py docstring;
+        # per-sink parity incl. corrupt-buffer parse_error text pinned by
+        # tests/test_jvm_decode.py)
+        dec = sink_df.select(
+            *base, *jvm_decode.JVM_DECODERS[sink](F.col("tokens_bin")))
     elif sink in parse.DECODERS:
         schema, udf_factory = parse.DECODERS[sink]
         dec = sink_df.withColumn("d", udf_factory()(F.col("tokens_bin")))

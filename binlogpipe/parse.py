@@ -122,7 +122,13 @@ def _decode_frame(tokens: pd.Series, names: list[str],
             r["parse_error"] = f"{type(e).__name__}: {e}"
         for n in names:
             cols[n].append(r[n])
-    return pd.DataFrame(cols, columns=names)
+    # object dtype per column: pandas otherwise coerces an int column
+    # containing any None (an errored row in the batch) to float64, which
+    # silently rounds i64 values beyond 2**53 before Arrow casts them
+    # back — found by the jvm_decode random-buffer parity fuzz
+    return pd.DataFrame(
+        {n: pd.Series(cols[n], dtype=object) for n in names},
+        columns=names)
 
 
 def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict],
