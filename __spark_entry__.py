@@ -168,10 +168,11 @@ def _fixture_df(spark: SparkSession) -> DataFrame:
 
 def _jvm_struct(df: DataFrame, sink: str) -> DataFrame:
     """Decode via the Catalyst-expression decoders (binlogpipe/jvm_decode.py
-    — the production decode-stage path since round 6), shaped like the UDF
-    result so the query bodies don't care which path ran. ARRAY_SAFE sinks
-    decode the array<int> form directly (zero Python); text-bearing sinks
-    pack to binary first (correctness coverage, not a perf path)."""
+    — OPT-IN via SPARK_GRAFT_JVM_DECODE=1; measured slower than the pandas
+    path, see that module's docstring), shaped like the UDF result so the
+    query bodies don't care which path ran. ARRAY_SAFE sinks decode the
+    array<int> form directly (zero Python); text-bearing sinks pack to
+    binary first (correctness coverage, not a perf path)."""
     if sink in jvm_decode.ARRAY_SAFE:
         cols = jvm_decode.JVM_DECODERS[sink](F.col("tokens"), form="arr")
         return df.withColumn("d", F.struct(*cols))

@@ -101,10 +101,11 @@ def sink_decode_projection(sink: str, sink_df: DataFrame, dim: DataFrame,
             *base, *[F.col(pref + f.name).alias(f.name)
                      for f in parse.FUSED_SCHEMAS[pref].fields])
     elif jvm_decode.enabled() and sink in jvm_decode.JVM_DECODERS:
-        # fixed-layout sinks decode as pure Catalyst expressions — no
-        # bridge crossing at all for ~62% of rows (jvm_decode.py docstring;
-        # per-sink parity incl. corrupt-buffer parse_error text pinned by
-        # tests/test_jvm_decode.py)
+        # OPT-IN (SPARK_GRAFT_JVM_DECODE=1): fixed-layout sinks as pure
+        # Catalyst expressions, zero bridge crossings — measured x1.24-1.3
+        # SLOWER than the pandas decoders at pinned 1/4 cores (jvm_decode
+        # docstring), kept for bridge-contended hosts; parity incl.
+        # corrupt-buffer parse_error text pinned by tests/test_jvm_decode
         dec = sink_df.select(
             *base, *jvm_decode.JVM_DECODERS[sink](F.col("tokens_bin")))
     elif sink in parse.DECODERS:

@@ -1,17 +1,30 @@
 """Catalyst-expression twins of the fixed-layout payload decoders.
 
-The decode stage's non-scaling term is the JVM<->Python Arrow bridge
-(~0.6 GB/s per host regardless of core count — BENCH/BASELINE.md
-calibrations). For event types whose payload is a fixed arithmetic of
-byte offsets, the decode is expressible as pure Catalyst column
-expressions — whole-stage-codegen'd JVM work with no Python crossing —
-which DELETES the bridge traffic for those rows instead of relocating it
-(the round-4 fuse and round-5 i8-precast experiments both showed that
-only deleted work moves this wall, relocated work does not). The eight
-decoders here cover GTID/ANON_GTID, XID, INTVAR, RAND, ROTATE,
+MEASURED NEGATIVE — default OFF (the third entry in the deleted-vs-
+relocated-work series after the round-4 fuse and round-5 i8 pre-cast;
+full numbers in BENCH/BASELINE.md "Round-6: Catalyst-expression decode").
+Hypothesis: the decode stage's non-scaling term is the JVM<->Python
+Arrow bridge (~0.6 GB/s per host regardless of core count), so decoding
+fixed-layout event types as pure whole-stage-codegen'd column
+expressions — zero Python crossing for ~62% of rows — should DELETE
+bridge traffic rather than relocate it. Result (tools/jvm_decode_ab.py,
+CPU-pinned interleaved cells, 3M events): the Catalyst path LOSES x1.30
+at 1 core and x1.24 at 4 cores — decode-stage wall 119s vs 74-77s (1c),
+37-39s vs 22-25s (4c). Per-byte access via ascii(substring(decode(...)))
+allocates a UTF8String per byte read, while the pandas path decodes each
+sink's whole Arrow batch with a handful of strided numpy views; the
+vectorized-numpy work it would delete is CHEAPER per CPU-second than the
+codegen'd string churn that replaces it, at every core budget, even with
+the bridge transfer priced in (the bridge's bytes were already hidden by
+pipeline overlap — same lesson as the fuse and i8 experiments). Kept as
+an opt-in (SPARK_GRAFT_JVM_DECODE=1) with full parity pins because the
+trade could invert on a cluster whose many concurrent decode jobs
+contend for one host's bridge; the default stays the pandas decoders.
+
+The eight decoders cover GTID/ANON_GTID, XID, INTVAR, RAND, ROTATE,
 ROWS_QUERY, FORMAT_DESC and PREV_GTIDS — ~62% of all events in the
 reference fixture distribution (BASELINE.md §2); QUERY (status-var walk),
-USER_VAR (variant layouts), TABLE_MAP and the rows events keep the
+USER_VAR (variant layouts), TABLE_MAP and the rows events have only the
 vectorized pandas decoders in parse.py.
 
 Parity contract (pinned by tests/test_jvm_decode.py):
@@ -60,9 +73,11 @@ _DEC21 = T.DecimalType(21, 0)
 
 
 def enabled() -> bool:
-    """Feature flag (default ON); SPARK_GRAFT_JVM_DECODE=0 restores the
-    pandas decoders everywhere — the A/B lever and the escape hatch."""
-    return os.environ.get("SPARK_GRAFT_JVM_DECODE", "1") != "0"
+    """Feature flag, default OFF (measured x1.24-1.30 slower than the
+    pandas decoders at pinned 1 and 4 cores — module docstring);
+    SPARK_GRAFT_JVM_DECODE=1 opts in for A/B runs or bridge-contended
+    cluster hosts."""
+    return os.environ.get("SPARK_GRAFT_JVM_DECODE", "0") == "1"
 
 
 # -- byte accessors ----------------------------------------------------------

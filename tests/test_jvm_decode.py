@@ -139,14 +139,18 @@ def test_u64_wraps_to_i64(spark):
     assert _jvm_rows(spark, "XID", [buf2]) == [(-(2 ** 63), None)]
 
 
-def test_decode_projection_is_jvm_only(spark, fixture_parquet, tmp_path):
-    """The production decode projection for a JVM sink crosses the bridge
-    zero times — that is the entire point (BENCH/BASELINE.md: the bridge
-    is a fixed per-host resource; deleted work is the only work that
-    scales). The input is a parquet round-trip of the routed shape, like
-    the real decode stage's scan of the routed table, so the plan carries
-    no upstream pack UDF to confuse the assertion."""
+def test_decode_projection_is_jvm_only(spark, fixture_parquet, tmp_path,
+                                       monkeypatch):
+    """With the opt-in ON, the decode projection for a JVM sink crosses
+    the bridge zero times — the property the A/B priced (it lost on this
+    host, but the zero-crossing claim must stay true for the cluster
+    scenario the opt-in exists for). The input is a parquet round-trip of
+    the routed shape, like the real decode stage's scan of the routed
+    table, so the plan carries no upstream pack UDF to confuse the
+    assertion."""
     from binlogpipe import job
+
+    monkeypatch.setenv("SPARK_GRAFT_JVM_DECODE", "1")
 
     hdr = parse.with_header(spark.read.parquet(fixture_parquet))
     hdr = hdr.withColumn(
@@ -167,9 +171,8 @@ def test_decode_projection_is_jvm_only(spark, fixture_parquet, tmp_path):
 
 def test_pipeline_flag_off_restores_pandas_path(spark, fixture_parquet,
                                                 monkeypatch):
-    """SPARK_GRAFT_JVM_DECODE=0 must route sink_decode_projection back
-    through the pandas decoders (the A/B lever and escape hatch), and the
-    two paths must agree on the fixture corpus."""
+    """The two sink_decode_projection paths (opt-in Catalyst vs default
+    pandas) must agree on the fixture corpus, flipped by the env flag."""
     from binlogpipe import job
 
     hdr = parse.with_header(spark.read.parquet(fixture_parquet))
@@ -182,6 +185,7 @@ def test_pipeline_flag_off_restores_pandas_path(spark, fixture_parquet,
         dec = job.sink_decode_projection("GTID", gtid, None)
         return sorted(tuple(r) for r in dec.select(*cols).collect())
 
+    monkeypatch.setenv("SPARK_GRAFT_JVM_DECODE", "1")
     jvm_rows = run()
     monkeypatch.setenv("SPARK_GRAFT_JVM_DECODE", "0")
     pandas_rows = run()
