@@ -620,12 +620,23 @@ def delta_table(result: dict) -> tuple[str, list[str]]:
     window = None
     if pq_.get(ANCHOR_QUERY) and result["queries"].get(ANCHOR_QUERY):
         window = result["queries"][ANCHOR_QUERY] / pq_[ANCHOR_QUERY]
+    # pipeline_* rows normalize by the anchor timed NEXT TO the pipeline
+    # cell in both rounds (see main()'s pipe_anchor comment — the query
+    # block runs ~1h later and its window factor mis-normalizes the
+    # pipeline rows; BENCH_r06's 7 false flags). Falls back to the
+    # query-block window when either artifact predates the field.
+    window_pipe = window
+    if pj.get("pipeline_block_anchor_sec") and \
+            result.get("pipeline_block_anchor_sec"):
+        window_pipe = (result["pipeline_block_anchor_sec"]
+                       / pj["pipeline_block_anchor_sec"])
     rows, flags = [], []
     for q, now in result["queries"].items():
         if q in pq_ and isinstance(now, (int, float)) and pq_[q]:
             pct = (now - pq_[q]) / pq_[q] * 100
+            w_q = window_pipe if q.startswith("pipeline_") else window
             if window:
-                norm = (now / window) / pq_[q]
+                norm = (now / w_q) / pq_[q]
                 mark = " **FLAG**" if (norm > FLAG_RATIO
                                        and q != ANCHOR_QUERY) else ""
                 if mark:
@@ -644,6 +655,10 @@ def delta_table(result: dict) -> tuple[str, list[str]]:
                    f"(window x{window:.2f}). Normalized = this-run wall "
                    f"÷ window ÷ previous wall; > x{FLAG_RATIO} flags a "
                    f"same-window A/B.\n")
+        if window_pipe is not None and window_pipe != window:
+            anchors += (f"`pipeline_*` rows use the pipeline-BLOCK anchor "
+                        f"(same query timed next to the pipeline cell in "
+                        f"both rounds): window x{window_pipe:.2f}.\n")
     try:
         k = f"wall_{SCALE_HIGH}c"
         a_prev = pj["calibrations"]["sha2"][k]
@@ -673,6 +688,17 @@ def main() -> None:
     main_run = run_pipeline_at(CPUS, input_path, f"c{CPUS}", str(warm_path))
     t_main = main_run["bench_wall_sec"]
     tput_main = n_rows / t_main
+
+    # Pipeline-BLOCK window anchor: the delta table's query-block anchor
+    # is measured ~1h after the pipeline cell (the scaling pairs + sf1
+    # block sit between), and this host's throughput swings across that
+    # gap — BENCH_r06 flagged every pipeline_* row >1.3x normalized while
+    # the same-window 2x2 matrix (tools/fold_ab.py) showed the new code
+    # FASTER than the old: pure cross-block mis-normalization. Timing
+    # ANCHOR_QUERY immediately after the main cell gives pipeline_* rows
+    # an anchor from THEIR OWN window; delta_table uses it when the
+    # previous artifact also carries one.
+    pipe_anchor = run_queries(SF_DIR, CPUS, names=[ANCHOR_QUERY])[ANCHOR_QUERY]
 
     # contract pair on the single shared disk
     disk_pair = scaling_pair(input_path, str(warm_path), n_rows,
@@ -734,6 +760,7 @@ def main() -> None:
         "scaling_tmpfs": tmpfs_pair,
         "scaling_1_to_4": n4_pair,
         "calibrations": calib,
+        "pipeline_block_anchor_sec": pipe_anchor,
         "sf1": sf1,
     }
     result = full  # delta_table reads queries + calibrations from it
@@ -913,6 +940,9 @@ is this harness re-run per round (BENCH_r{{N}}.json).
                     "bridge_eff": calib["bridge"]["efficiency"],
                     "sha2_1_4_eff": calib["sha2_1_4"]["efficiency"],
                     "bridge_1_4_eff": calib["bridge_1_4"]["efficiency"]},
+        # top-level (not under anchors): prev_bench()/delta_table read it
+        # from the driver-recorded compact line next round
+        "pipeline_block_anchor_sec": pipe_anchor,
         "flagged_queries": flags,
         "detail": "BENCH/latest_full.json",
     }

@@ -26,6 +26,7 @@ stopped (BASELINE.json "resumable from snapshot + checkpoint").
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -425,9 +426,16 @@ def run_pipeline(
     # the background (non-daemon threads; each is an independent
     # idempotent overwrite whose checkpoint mark is only valid because
     # its own write succeeded) — the resumed run then skips them.
-    side_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="side")
-    side_futures = [side_pool.submit(_lineage_stage),
-                    side_pool.submit(_aggregate_stage)]
+    # SPARK_GRAFT_SIDE_OVERLAP=0 runs them serially instead (pre-fold
+    # shape) — the A/B knob for attributing saturated-core contention.
+    side_pool = side_futures = None
+    if os.environ.get("SPARK_GRAFT_SIDE_OVERLAP", "1") == "1":
+        side_pool = ThreadPoolExecutor(max_workers=2,
+                                       thread_name_prefix="side")
+        side_futures = [side_pool.submit(_lineage_stage),
+                        side_pool.submit(_aggregate_stage)]
+    else:
+        _lineage_stage()
 
     # ---- stage: enrich (table-map dictionary from the TABLE_MAP slice) ----
     dim_path = str(out / "table_map_dim")
@@ -557,7 +565,21 @@ def run_pipeline(
         # TABLES, not directories, so the rename trick does not apply.
         grouped: set[str] = set()
         units: list[list[str]] = []
-        if sink_format == "parquet":
+        # Fold only when task slots are scarce: the fold trades per-job
+        # fixed cost (driver planning + commit — the term that caps the
+        # 1->4 scaling pair, worth ~0.05 efficiency there) for a
+        # partitionBy write that is measurably WORSE once the executor
+        # pool is wide enough to pipeline the single-sink jobs instead
+        # (tools/fold_ab.py same-window 2x2 matrix at 32c, sf0.1,
+        # median-of-3: fold-only 23.5s vs singles 21.3s; with side-stage
+        # overlap on, 18.4s vs 17.7s — fold loses at saturation in every
+        # pairwise round). <=16 slots keeps the fold for the 1/4/8-core
+        # regimes the fixed-cost math targets; SPARK_GRAFT_FOLD_SINKS=1/0
+        # forces either side (the A/B knob).
+        fold_env = os.environ.get("SPARK_GRAFT_FOLD_SINKS", "")
+        fold = (fold_env == "1" if fold_env
+                else spark.sparkContext.defaultParallelism <= 16)
+        if sink_format == "parquet" and fold:
             header_only = [s for s in sorted(present)
                            if s not in parse.DECODERS
                            and s not in ROWS_SINKS]
@@ -583,9 +605,12 @@ def run_pipeline(
         ck.mark("decode", sinks=len(present))
 
     # join the side stages (lineage + aggregate) before reporting
-    for f in side_futures:
-        f.result()
-    side_pool.shutdown()
+    if side_futures is not None:
+        for f in side_futures:
+            f.result()
+        side_pool.shutdown()
+    else:
+        _aggregate_stage()
 
 
     metrics["wall_sec"] = round(time.time() - t_start, 3)

@@ -319,3 +319,34 @@ def test_fused_hot_decode_outputs_match(spark, fixture_parquet, tmp_path,
         ka = {r["doc_id"]: r.asDict() for r in a.collect()}
         kb = {r["doc_id"]: r.asDict() for r in b.collect()}
         assert ka == kb, sink
+
+
+def test_fold_and_singles_sink_layouts_identical(spark, fixture_parquet,
+                                                 tmp_path, monkeypatch,
+                                                 pipeline_out):
+    """The same-schema sink fold is parallelism-conditional (job.py: fold
+    when defaultParallelism <= 16, A/B'd in tools/fold_ab.py), so BOTH
+    write shapes are production paths — one job per sink at wide
+    parallelism, grouped partitionBy(sink) + renames when slots are
+    scarce. Their sinks/ trees must be indistinguishable: same sink dirs,
+    same columns (partitionBy must drop the `sink` column from data
+    files), same rows. pipeline_out runs at local[4] => the FOLD path;
+    this run forces singles."""
+    from binlogpipe import job
+
+    monkeypatch.setenv("SPARK_GRAFT_FOLD_SINKS", "0")
+    out = tmp_path / "out"
+    m = job.run_pipeline(spark, fixture_parquet, str(out), run_id="singles")
+    assert m["rows"] == 166
+    base = Path(pipeline_out["out"]) / "sinks"
+    sinks = sorted(p.name for p in base.iterdir() if p.is_dir())
+    assert sorted(p.name for p in (out / "sinks").iterdir()
+                  if p.is_dir()) == sinks
+    for sink in sinks:
+        a = spark.read.parquet(str(base / sink))
+        b = spark.read.parquet(str(out / "sinks" / sink))
+        assert sorted(a.columns) == sorted(b.columns), sink
+        assert "sink" not in a.columns, sink
+        ka = {r["doc_id"]: r.asDict() for r in a.collect()}
+        kb = {r["doc_id"]: r.asDict() for r in b.collect()}
+        assert ka == kb, sink
