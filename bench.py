@@ -685,7 +685,18 @@ def main() -> None:
     if not warm_path.exists():
         fixture_gen.write_synth_parquet(warm_path, 60)
 
-    main_run = run_pipeline_at(CPUS, input_path, f"c{CPUS}", str(warm_path))
+    # Watchdogged subprocess cell (pin=False: cpuset = full host mask —
+    # what it buys is the wedge watchdog): the main run's 6M-event UDF
+    # stages are the PythonRunner-deadlock hazard class, unrescuable
+    # in-process (local mode cannot speculate; round 6 observed the wedge
+    # in an in-process 8/32 disk-pair cell, which would have stalled the
+    # round artifact forever).
+    main_c = pinned_cell("pipeline", CPUS, input=input_path, tag=f"c{CPUS}",
+                         warm=str(warm_path), n_timed=2, pin=False,
+                         timeout_sec=2 * (120 + n_rows * 110e-6 / 8))
+    main_run = {"bench_wall_sec": main_c["wall"],
+                "stages": {k: {"wall_sec": v}
+                           for k, v in main_c.get("stages", {}).items()}}
     t_main = main_run["bench_wall_sec"]
     tput_main = n_rows / t_main
 
@@ -701,8 +712,11 @@ def main() -> None:
     pipe_anchor = run_queries(SF_DIR, CPUS, names=[ANCHOR_QUERY])[ANCHOR_QUERY]
 
     # contract pair on the single shared disk
+    # subproc=True: same unpinned 8/32 methodology, but each cell gets
+    # the wedge watchdog (see the main-cell comment above)
     disk_pair = scaling_pair(input_path, str(warm_path), n_rows,
-                             "/tmp/binlogpipe_bench", "sc_disk_")
+                             "/tmp/binlogpipe_bench", "sc_disk_",
+                             subproc=True)
 
     # identical job on tmpfs = storage that scales with threads (the
     # per-executor-disk stand-in; see module docstring)
@@ -715,7 +729,7 @@ def main() -> None:
     if not shm_warm.exists():
         shutil.copy(warm_path, shm_warm)
     tmpfs_pair = scaling_pair(str(shm_input), str(shm_warm), n_rows,
-                              str(shm), "sc_shm_")
+                              str(shm), "sc_shm_", subproc=True)
     shutil.rmtree(shm, ignore_errors=True)
 
     # second N->4N instantiation of the same rule, BELOW the single-JVM
