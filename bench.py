@@ -175,6 +175,29 @@ def run_pipeline_at(cores: int, input_path: str, tag: str,
         spark.stop()
 
 
+def _session_cpu_seconds(sid: int) -> float:
+    """Total user+sys CPU seconds burned so far by every live process in
+    session `sid`. Bench cells run with start_new_session=True, so the
+    cell python, its JVM grandchild, and every forked UDF worker share
+    the session id — one /proc sweep covers the whole tree."""
+    total = 0
+    tck = os.sysconf("SC_CLK_TCK")
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                st = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        # fields after the parenthesised comm (comm may contain spaces):
+        # [0]=state [3]=session [11]=utime [12]=stime
+        rest = st[st.rindex(")") + 2:].split()
+        if int(rest[3]) == sid:
+            total += int(rest[11]) + int(rest[12])
+    return total / tck
+
+
 def pinned_cell(kind: str, cores: int, **spec) -> dict:
     """Run one bench cell in a fresh subprocess pinned to exactly `cores`
     CPUs (tools/bench_cell.py has the full rationale: pyspark reuses one
@@ -194,8 +217,16 @@ def pinned_cell(kind: str, cores: int, **spec) -> dict:
     # with Arrow batches per task: round 6 reproduced it on the FIRST
     # pinned 1-core 24M cell (~4x the batches of the 6M cells that ran
     # clean ~10x). A wedged cell burns ~0 CPU forever, so an unwatched
-    # bench would stall the whole round artifact. On timeout: kill the
-    # cell's process group (the JVM is a grandchild), retry ONCE, and
+    # bench would stall the whole round artifact.
+    #
+    # Wedge vs merely-slow: this host's windows swing 2-5x (module
+    # docstring), so a wall-clock budget alone would kill healthy cells
+    # in a contended window and — after the single retry in the same
+    # window — abort the whole round. At the budget, sample the cell
+    # session's CPU burn over 5s: a wedge burns ~0, a healthy cell even
+    # at 1 pinned core burns ~5s; only a near-idle tree is killed, a
+    # busy one gets 60s extensions up to a 3x hard cap. On a wedge kill:
+    # kill the process GROUP (the JVM is a grandchild), retry ONCE, and
     # record the retry in the result — never a silent do-over.
     retries = 0
     while True:
@@ -204,9 +235,30 @@ def pinned_cell(kind: str, cores: int, **spec) -> dict:
              json.dumps(spec)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             start_new_session=True)
-        try:
-            out_s, err_s = p.communicate(timeout=timeout_sec)
-        except subprocess.TimeoutExpired:
+        wedged = False
+        if timeout_sec is None:
+            out_s, err_s = p.communicate()
+        else:
+            deadline = time.time() + timeout_sec
+            hard_cap = time.time() + 3 * timeout_sec
+            while True:
+                try:
+                    out_s, err_s = p.communicate(
+                        timeout=max(1.0, min(30.0,
+                                             deadline - time.time())))
+                    break
+                except subprocess.TimeoutExpired:
+                    if time.time() < deadline:
+                        continue
+                    c0 = _session_cpu_seconds(p.pid)
+                    time.sleep(5.0)
+                    burn = _session_cpu_seconds(p.pid) - c0
+                    if burn >= 1.0 and time.time() < hard_cap:
+                        deadline = time.time() + 60.0
+                        continue
+                    wedged = True
+                    break
+        if wedged:
             import signal as _sig
 
             try:
@@ -297,32 +349,19 @@ def scaling_pair(input_path: str, warm_path: str, n_rows: int,
     }
 
 
-def sha2_pair(low: int, high: int, rows: int, pin: bool = False) -> dict:
+def sha2_pair(low: int, high: int, rows: int) -> dict:
     """Fresh pure-JVM compute ceiling for a low/high core pair: the sha2
     chain touches no scan, no shuffle, no Python — its N->4N efficiency
-    is the best ANY job can record in the current host window. With
-    pin=True each cell runs in a cpuset of exactly its core count (the
-    gate probe must share the pair's methodology or it gauges a different
-    machine)."""
-    from binlogpipe.session import build_spark
-
+    is the best ANY job can record in the current host window. Each cell
+    runs pinned in a cpuset of exactly its core count (the gate probe
+    must share the 1->4 pair's methodology or it gauges a different
+    machine) with bench_cell's codegen/JIT warm pass — an unpinned or
+    cold variant measurably skews the short 4-core cell (4.99s cold vs
+    3.63s warm: eff 0.66 vs 0.894)."""
     walls = {}
     for cores in (low, high):
-        if pin:
-            walls[cores] = pinned_cell("sha2", cores, rows=rows,
-                                       timeout_sec=600)["wall"]
-            continue
-        spark = build_spark(app=f"sha2-{cores}", cores=cores)
-        try:
-            spark.range(1000).selectExpr("sum(id)").collect()
-            df = spark.range(rows, numPartitions=4 * cores)
-            t0 = time.time()
-            (df.selectExpr("sha2(cast(id as string), 256) as h")
-               .selectExpr("sha2(h, 256) as h2")
-               .selectExpr("max(h2)").collect())
-            walls[cores] = round(time.time() - t0, 2)
-        finally:
-            spark.stop()
+        walls[cores] = pinned_cell("sha2", cores, rows=rows,
+                                   timeout_sec=600)["wall"]
     return {f"wall_{low}c": walls[low], f"wall_{high}c": walls[high],
             "efficiency": round((walls[low] / walls[high]) / (high / low), 3)}
 
@@ -354,7 +393,7 @@ def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
     for _ in range(N4_PAIR_ATTEMPTS):
         pre = None
         for p in range(N4_PROBE_ATTEMPTS):
-            pre = sha2_pair(1, 4, 20_000_000, pin=True)
+            pre = sha2_pair(1, 4, 20_000_000)
             probes.append(pre)
             if pre["efficiency"] >= N4_CEILING_MIN:
                 break
@@ -363,7 +402,7 @@ def gated_n4_pair(input_path: str, warm_path: str, n_rows: int,
         pair = scaling_pair(input_path, warm_path, n_rows, out_base,
                             f"sc_n4a{len(pairs)}_", low=1, high=4,
                             rounds=3, agg="median", pin=True)
-        post = sha2_pair(1, 4, 20_000_000, pin=True)
+        post = sha2_pair(1, 4, 20_000_000)
         probes.append(post)
         pair["ceiling_pre"] = pre["efficiency"]
         pair["ceiling_post"] = post["efficiency"]
@@ -635,7 +674,10 @@ def delta_table(result: dict) -> tuple[str, list[str]]:
         if q in pq_ and isinstance(now, (int, float)) and pq_[q]:
             pct = (now - pq_[q]) / pq_[q] * 100
             w_q = window_pipe if q.startswith("pipeline_") else window
-            if window:
+            # gate per-row on the row's OWN anchor: pipeline_* rows stay
+            # normalized (and flaggable) via the pipeline-block anchor
+            # even when the query-block anchor is missing in either round
+            if w_q:
                 norm = (now / w_q) / pq_[q]
                 mark = " **FLAG**" if (norm > FLAG_RATIO
                                        and q != ANCHOR_QUERY) else ""
@@ -655,10 +697,10 @@ def delta_table(result: dict) -> tuple[str, list[str]]:
                    f"(window x{window:.2f}). Normalized = this-run wall "
                    f"÷ window ÷ previous wall; > x{FLAG_RATIO} flags a "
                    f"same-window A/B.\n")
-        if window_pipe is not None and window_pipe != window:
-            anchors += (f"`pipeline_*` rows use the pipeline-BLOCK anchor "
-                        f"(same query timed next to the pipeline cell in "
-                        f"both rounds): window x{window_pipe:.2f}.\n")
+    if window_pipe is not None and window_pipe != window:
+        anchors += (f"`pipeline_*` rows use the pipeline-BLOCK anchor "
+                    f"(same query timed next to the pipeline cell in "
+                    f"both rounds): window x{window_pipe:.2f}.\n")
     try:
         k = f"wall_{SCALE_HIGH}c"
         a_prev = pj["calibrations"]["sha2"][k]

@@ -38,7 +38,12 @@ def cmd_trans(args) -> None:
     # scheme-aware listing (hdfs/s3a out dirs; also absent on empty-input
     # runs where the pipeline returns before creating sinks/) + delete-
     # before-write so a resumed invocation doesn't crash on the old dump
-    sinks = sorted(job.list_partition_dirs(spark, f"{out_s}/sinks", ""))
+    # `_grp_*` is decode_group staging, never a sink — run_pipeline sweeps
+    # stale ones on resume, but this dump may read an out tree written by
+    # a run that crashed mid-group
+    sinks = sorted(s for s in
+                   job.list_partition_dirs(spark, f"{out_s}/sinks", "")
+                   if not s.startswith("_grp_"))
     if args.format == "json":
         dump_dir = f"{out_s}/debug_json"
         for sink in sinks:

@@ -482,6 +482,15 @@ def run_pipeline(
                 f"{iceberg_prefix}.routed.partitions").collect()]
         else:
             present = list_sink_partitions(spark, routed_path)
+            # A `_grp_*` staging dir under sinks/ is always garbage on
+            # (re)entry to this stage: either a crashed decode_group left
+            # it (the per-sink marks below say what to redo) or its final
+            # delete didn't run. Left in place it would surface as a
+            # bogus sink to directory-listing consumers (cli status /
+            # dump) and hold duplicate data.
+            for stale in list_partition_dirs(spark, str(out / "sinks"),
+                                             "_grp_"):
+                delete_path(spark, str(out / "sinks" / f"_grp_{stale}"))
 
         # Per-sink decode width scales with INPUT SIZE, not just cores.
         # Round-4 interleaved sweeps: at sf0.1 (6M events) width 8-12
@@ -539,10 +548,18 @@ def run_pipeline(
                 if fs.exists(part):
                     if not fs.rename(part, HPath(dest)):
                         raise OSError(f"rename failed: {part} -> {dest}")
-                else:  # present-but-filtered-empty member: keep the same
-                    fs.mkdirs(HPath(dest))  # empty-dir shape a zero-row
-                    # single-sink write would have left
-                ck.mark(f"decode:{s}")
+                    # the job's _SUCCESS stayed in the _grp_ root; recreate
+                    # it per sink so fold-written dirs keep the Hadoop
+                    # completeness convention single-sink writes follow
+                    fs.create(HPath(f"{dest}/_SUCCESS")).close()
+                    ck.mark(f"decode:{s}")
+                else:
+                    # present-but-filtered-empty member (e.g. a stale
+                    # zero-row sink=<s> partition in the routed table):
+                    # partitionBy wrote no dir for it, so fall back to the
+                    # single-sink write — a schema'd empty parquet dir, the
+                    # exact shape (and mark) consumers can read
+                    decode_single(s)
             delete_path(spark, tmp)
 
         def decode_unit(unit: list[str]) -> None:

@@ -343,6 +343,12 @@ def test_fold_and_singles_sink_layouts_identical(spark, fixture_parquet,
     assert sorted(p.name for p in (out / "sinks").iterdir()
                   if p.is_dir()) == sinks
     for sink in sinks:
+        # fold-written dirs must keep the Hadoop _SUCCESS completeness
+        # convention (decode_group recreates it after the rename —
+        # downstream validation tooling treats a marker-less dir as a
+        # partial write)
+        assert (base / sink / "_SUCCESS").exists(), sink
+        assert (out / "sinks" / sink / "_SUCCESS").exists(), sink
         a = spark.read.parquet(str(base / sink))
         b = spark.read.parquet(str(out / "sinks" / sink))
         assert sorted(a.columns) == sorted(b.columns), sink
@@ -350,3 +356,57 @@ def test_fold_and_singles_sink_layouts_identical(spark, fixture_parquet,
         ka = {r["doc_id"]: r.asDict() for r in a.collect()}
         kb = {r["doc_id"]: r.asDict() for r in b.collect()}
         assert ka == kb, sink
+
+
+def test_stale_group_staging_swept_on_resume(spark, fixture_parquet,
+                                             tmp_path, monkeypatch):
+    """A run killed mid-decode_group leaves a `sinks/_grp_*` staging dir
+    (the job's temp partitionBy output) holding duplicate data for the
+    not-yet-renamed members. On re-entry to the decode stage every
+    `_grp_*` dir is garbage by construction (per-sink marks say what to
+    redo), so the stage sweeps them — otherwise directory-listing
+    consumers (cli dump/status) would surface `_grp_X` as a sink."""
+    from binlogpipe import job
+
+    monkeypatch.setenv("SPARK_GRAFT_FOLD_SINKS", "1")
+    out = tmp_path / "out"
+    job.run_pipeline(spark, fixture_parquet, str(out), run_id="g1")
+    counts = {r["sink"]: r["n"] for r in
+              spark.read.parquet(str(out / "agg" / "sink_counts")).collect()}
+
+    # simulate the mid-group crash: GTID renamed+marked, ANON_GTID not —
+    # the staging dir survives with ANON_GTID's partition still inside
+    ck_path = out / "_checkpoint" / "state.json"
+    state = json.loads(ck_path.read_text())
+    for stage in ("decode", "decode:ANON_GTID"):
+        state["stages"].pop(stage)
+    ck_path.write_text(json.dumps(state))
+    stale = out / "sinks" / "_grp_GTID"
+    (stale / "sink=ANON_GTID").mkdir(parents=True)
+    (stale / "sink=ANON_GTID" / "part-junk.parquet").write_bytes(b"junk")
+    (stale / "_SUCCESS").write_bytes(b"")
+    anon_rows = sorted(
+        r["doc_id"] for r in
+        spark.read.parquet(str(out / "sinks" / "ANON_GTID")).collect())
+    import shutil as _sh
+
+    _sh.rmtree(out / "sinks" / "ANON_GTID")
+
+    job.run_pipeline(spark, fixture_parquet, str(out), run_id="g1")
+    assert not stale.exists()
+    got = sorted(
+        r["doc_id"] for r in
+        spark.read.parquet(str(out / "sinks" / "ANON_GTID")).collect())
+    assert got == anon_rows
+    # untouched (still-marked) members were not rewritten or damaged
+    assert spark.read.parquet(str(out / "sinks" / "GTID")).count() == \
+        counts["GTID"]
+    # the sweep also clears staging dirs that do NOT collide with the
+    # rerun's own tmp name (a crash in a DIFFERENT group's unit)
+    leftover = out / "sinks" / "_grp_LEFTOVER"
+    leftover.mkdir()
+    state = json.loads(ck_path.read_text())
+    state["stages"].pop("decode")
+    ck_path.write_text(json.dumps(state))
+    job.run_pipeline(spark, fixture_parquet, str(out), run_id="g1")
+    assert not leftover.exists()

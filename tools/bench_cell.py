@@ -104,6 +104,13 @@ def main() -> None:
             out = {"wall": round(best, 2)}
         finally:
             spark.stop()
+    elif kind == "idle":
+        # watchdog test hook: burns no CPU forever — the signature of the
+        # PythonRunner wedge bench.pinned_cell's watchdog must kill
+        # (tests/test_bench_watchdog.py); never used by a real bench run
+        import time
+        while True:
+            time.sleep(60)
     else:
         raise SystemExit(f"unknown cell kind: {kind}")
     print("CELL " + json.dumps(out))
