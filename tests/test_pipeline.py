@@ -410,3 +410,43 @@ def test_stale_group_staging_swept_on_resume(spark, fixture_parquet,
     ck_path.write_text(json.dumps(state))
     job.run_pipeline(spark, fixture_parquet, str(out), run_id="g1")
     assert not leftover.exists()
+
+
+def test_fold_empty_member_falls_back_to_single_write(spark, fixture_parquet,
+                                                      tmp_path, monkeypatch):
+    """A routed-table sink partition can exist as a directory yet hold
+    zero rows (stale leftover of a dynamic-partition overwrite or a swept
+    compaction). It is then listed as `present` and joins its same-schema
+    fold group, but partitionBy writes no `sink=<s>` dir for it — the
+    rename loop must fall back to the single-sink write, leaving the
+    standard consumer-readable shape: a schema'd empty parquet dir with
+    `_SUCCESS` and a checkpoint mark."""
+    from binlogpipe import job
+
+    monkeypatch.setenv("SPARK_GRAFT_FOLD_SINKS", "1")
+    out = tmp_path / "out"
+    job.run_pipeline(spark, fixture_parquet, str(out), run_id="f1")
+    stop_count = spark.read.parquet(str(out / "sinks" / "STOP")).count()
+
+    # stale zero-row partition: dir exists under routed/, no data files.
+    # HEARTBEAT is header-only like STOP, so the two fold into one group
+    # and partitionBy emits a dir only for STOP.
+    (out / "routed" / "sink=HEARTBEAT").mkdir()
+    ck_path = out / "_checkpoint" / "state.json"
+    state = json.loads(ck_path.read_text())
+    for stage in ("decode", "decode:STOP"):
+        state["stages"].pop(stage)
+    ck_path.write_text(json.dumps(state))
+
+    job.run_pipeline(spark, fixture_parquet, str(out), run_id="f1")
+
+    hb = out / "sinks" / "HEARTBEAT"
+    assert (hb / "_SUCCESS").exists()
+    hb_df = spark.read.parquet(str(hb))
+    assert hb_df.count() == 0
+    stop_df = spark.read.parquet(str(out / "sinks" / "STOP"))
+    assert sorted(hb_df.columns) == sorted(stop_df.columns)
+    assert stop_df.count() == stop_count
+    # the fallback marked the sink: a third resume is a decode no-op
+    state = json.loads(ck_path.read_text())
+    assert "decode:HEARTBEAT" in state["stages"]
