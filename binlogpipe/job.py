@@ -63,6 +63,12 @@ SAME_SCHEMA_GROUPS: tuple[tuple[str, ...], ...] = (
     ("GTID", "ANON_GTID"),
     ("BEGIN_LOAD_QUERY", "CREATE_FILE", "APPEND_BLOCK"),
     ("EXEC_LOAD", "DELETE_FILE"),
+    # WRITE and DELETE rows events share ROWS_SCHEMA and the n_images=1
+    # decoder (sink_decode_projection's todo[0] dispatch); UPDATE
+    # (n_images=2) must stay single. One fewer write job in the 1-4-core
+    # fold regime, where per-job fixed cost is the scaling-pair cap
+    # (round-7 F profile: ~0.7-2s per decode job at pinned 1 core).
+    ("WRITE_ROWS_V2", "DELETE_ROWS_V2"),
 )
 
 # typed sinks carry decoded fields + this header slice; the raw bytes stay
@@ -71,6 +77,12 @@ SAME_SCHEMA_GROUPS: tuple[tuple[str, ...], ...] = (
 DECODE_BASE_COLS = ["doc_id", "n_tok", "source", "timestamp", "event_type",
                     "server_id", "event_size", "log_pos", "flags",
                     "checksum"]
+
+
+def _REPART1() -> bool:
+    """A/B knob: force the decode-stage repartition even at par==1
+    (the pre-round-7 shape). See decode_single's comment."""
+    return os.environ.get("SPARK_GRAFT_DECODE_REPART1") == "1"
 
 
 def sink_decode_projection(sink: str, sink_df: DataFrame, dim: DataFrame,
@@ -513,8 +525,12 @@ def run_pipeline(
             # the pruned read yields few, small files which the scan packs
             # into 1-2 input splits — round-robin repartition restores
             # Python-worker parallelism for the decode UDF (the shuffle is
-            # tiny next to the decode CPU)
-            if sink in layout.SALT_FACTORS:
+            # tiny next to the decode CPU). At par==1 there is no
+            # parallelism to restore: repartition(1) is a pure payload
+            # shuffle (serialize+spill+read of the whole sink) that the
+            # pinned 1-core scaling cells paid on every salted sink.
+            # SPARK_GRAFT_DECODE_REPART1=1 restores it (the A/B knob).
+            if (par > 1 or _REPART1()) and sink in layout.SALT_FACTORS:
                 sink_df = sink_df.repartition(par)
             tgt = str(out / "sinks" / sink)
             dec = sink_decode_projection(sink, sink_df, dim,
@@ -532,7 +548,8 @@ def run_pipeline(
             # write. Crash safety: marks land only after a sink's rename;
             # a rerun regroups the unmarked remainder.
             sink_df = routed_df.filter(F.col("sink").isin(todo))
-            if any(s in layout.SALT_FACTORS for s in todo):
+            if (par > 1 or _REPART1()) and any(
+                    s in layout.SALT_FACTORS for s in todo):
                 sink_df = sink_df.repartition(par)
             dec = sink_decode_projection(todo[0], sink_df, dim,
                                          fused=fuse_hot_decode,
@@ -571,10 +588,15 @@ def run_pipeline(
             todo = [s for s in unit if not (resume and ck.done(f"decode:{s}"))]
             if not todo:
                 return
+            tu = time.time()
             if len(todo) == 1:
                 decode_single(todo[0])
             else:
                 decode_group(todo)
+            if os.environ.get("SPARK_GRAFT_DECODE_TIMINGS") == "1":
+                import sys as _sys
+                print(f"DECODE_UNIT {'+'.join(todo)} "
+                      f"{time.time() - tu:.2f}", file=_sys.stderr)
 
         # Unit building: same-schema groups fold into one job each (see
         # SAME_SCHEMA_GROUPS); everything else is a single-sink unit. The
@@ -615,6 +637,11 @@ def run_pipeline(
             0 if any(s in layout.SALT_FACTORS for s in u) else 1,
             -len(u), u[0]))
         pool_size = max(1, min(6, len(units)))
+        if os.environ.get("SPARK_GRAFT_DECODE_POOL"):
+            # profiling/tuning override (pool=1 serializes units so their
+            # walls attribute cleanly; see tools/opt_ab.py round-7 use)
+            pool_size = max(1, min(int(os.environ["SPARK_GRAFT_DECODE_POOL"]),
+                                   len(units)))
         with ThreadPoolExecutor(max_workers=pool_size) as pool:
             list(pool.map(decode_unit, units))
         metrics["stages"]["decode"] = {

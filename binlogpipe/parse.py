@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import functools as _functools
 import json
+import os as _os
 import struct as _struct
 from typing import Callable
 
 import pandas as pd
+import pyarrow as pa  # module-level: arrow_udf type-hint resolution needs
+                      # `pa` in module globals under future-annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -131,16 +134,75 @@ def _decode_frame(tokens: pd.Series, names: list[str],
         columns=names)
 
 
+def _arrow_tokens(arr):
+    """One arrow_udf input batch of the tokens column -> the form
+    _decode_frame consumes: a _FlatBatch over the batch's own buffers for
+    the packed-binary fast path (ZERO per-row materialization — the
+    pandas_udf form built one bytes object per row just to re-join them
+    in _flat_batch), else a pd.Series identical to what pandas_udf would
+    have delivered (array<int32> inputs, nulls, slices)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_binary(arr.type) and arr.null_count == 0 and len(arr):
+        off0 = arr.offset
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            off0:off0 + len(arr) + 1].astype(np.int64)
+        base = offs[0]
+        offs = offs - base
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+            base:base + int(offs[-1])]
+        return _FlatBatch(flat, None, offs[:-1], np.diff(offs))
+    return arr.to_pandas()
+
+
+def _frame_to_struct(frame: pd.DataFrame, schema: T.StructType):
+    """Decoded DataFrame -> pa.StructArray with the schema's exact arrow
+    field types (the declared Spark types drive every conversion, so the
+    values match the pandas_udf path's coercions)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrays = []
+    for f in schema.fields:
+        at = to_arrow_type(f.dataType)
+        col = frame[f.name]
+        arrays.append(pa.array(col, type=at, from_pandas=True))
+    return pa.StructArray.from_arrays(arrays,
+                                      names=[f.name for f in schema.fields])
+
+
+def _arrow_decode() -> bool:
+    """Round-7 default: per-sink decode UDFs run as Spark 4.1 arrow_udfs
+    — the binary tokens batch feeds _FlatBatch straight from the Arrow
+    buffers (no per-row bytes materialization on input, no pandas
+    round-trip on output). SPARK_GRAFT_ARROW_DECODE=0 restores the
+    pandas_udf form (the A/B knob); outputs are identical by construction
+    (same _decode_frame, types driven by the same declared schema)."""
+    return _os.environ.get("SPARK_GRAFT_ARROW_DECODE", "1") == "1"
+
+
 def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict],
              vectorized: Callable | None = None):
-    """Wrap a per-event ``bytes -> dict`` decoder as an Arrow-batched pandas
-    UDF returning ``schema`` (+ parse_error). The Python loop is per Arrow
+    """Wrap a per-event ``bytes -> dict`` decoder as an Arrow-batched UDF
+    returning ``schema`` (+ parse_error). The Python loop is per Arrow
     batch, never per Spark row; records accumulate columnar (dict-of-lists —
     pd.DataFrame from columns is several times faster than from row dicts).
 
     `vectorized`, when given, is a whole-batch numpy fast path; it returns a
     DataFrame or None to fall back to the loop (e.g. mixed event sizes)."""
     names = [f.name for f in schema.fields]
+
+    if _arrow_decode():
+        from pyspark.sql.functions import arrow_udf
+
+        @arrow_udf(schema)
+        def audf(tokens: pa.Array) -> pa.Array:
+            return _frame_to_struct(
+                _decode_frame(_arrow_tokens(tokens), names, fn, vectorized),
+                schema)
+
+        return audf
 
     @pandas_udf(schema)
     def udf(tokens: pd.Series) -> pd.DataFrame:
@@ -149,10 +211,54 @@ def _rowwise(schema: T.StructType, fn: Callable[[bytes], dict],
     return udf
 
 
+def _pack_arrow_array(tokens):
+    """One Arrow batch of the tokens column -> BinaryArray, byte-identical
+    to `tokens.map(c.tokens_to_bytes)`.
+
+    Fast path (the contract list<int32> batch, unsliced, no nulls
+    anywhere): a ListArray's offsets buffer plus its values buffer cast
+    int32->uint8 ARE a BinaryArray — one whole-batch C cast, zero per-row
+    Python and zero per-row allocation. The unsafe cast truncates to the
+    low byte exactly like numpy's astype(np.uint8) wrap in
+    tokens_to_bytes. Anything off the fast path (slices, null cells,
+    unexpected types) falls back to the per-row tokens_to_bytes loop,
+    which owns the polymorphic/None semantics."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    if (pa.types.is_list(tokens.type) and tokens.offset == 0
+            and tokens.null_count == 0):
+        vals = tokens.values
+        if vals.offset == 0 and vals.null_count == 0:
+            u8 = vals.cast(pa.uint8(), safe=False)
+            return pa.Array.from_buffers(
+                pa.binary(), len(tokens),
+                [None, tokens.buffers()[1], u8.buffers()[1]])
+    if (pa.types.is_binary(tokens.type) and tokens.null_count == 0):
+        return tokens  # already the internal packed form
+    return pa.array([c.tokens_to_bytes(t) for t in tokens.to_pandas()],
+                    pa.binary())
+
+
 def pack_tokens_udf():
     """array<int32> -> packed binary (internal routed-table form). One
     vectorized Arrow pass at route time; every downstream stage reads
-    binary, which writes/reads ~3x faster than parquet list<int32>."""
+    binary, which writes/reads ~3x faster than parquet list<int32>.
+
+    Default is the Spark 4.1 arrow_udf form (_pack_arrow_array): the
+    pandas form pays, PER ROW, the Arrow->pandas materialization of a
+    numpy array plus asarray(int64)+astype(uint8)+tobytes (three copies)
+    — the arrow form is one whole-batch cast and two reused buffers.
+    Same-window pinned A/B (tools/opt_ab.py, round 7): see
+    OPTIMIZATION_r07.md "route: pack UDF". SPARK_GRAFT_ARROW_PACK=0
+    restores the pandas form (the A/B knob)."""
+    if _os.environ.get("SPARK_GRAFT_ARROW_PACK", "1") == "1":
+        from pyspark.sql.functions import arrow_udf
+
+        @arrow_udf(T.BinaryType())
+        def pack_arrow(tokens: pa.Array) -> pa.Array:
+            return _pack_arrow_array(tokens)
+
+        return pack_arrow
 
     @pandas_udf(T.BinaryType())
     def pack(tokens: pd.Series) -> pd.Series:
@@ -236,12 +342,20 @@ def unpack_tokens_udf():
 # whole-batch numpy fast paths for hot fixed-layout events
 # ---------------------------------------------------------------------------
 
-def _stack_fixed(tokens: pd.Series, size: int):
+def _stack_fixed(tokens, size: int):
     """(n, size) uint8-ish int64 matrix if every event is exactly `size`
     bytes, else None (mixed sizes -> scalar fallback). Accepts array<int32>
-    rows or packed-binary rows."""
+    rows, packed-binary rows, or a prebuilt _FlatBatch (arrow_udf path —
+    the rows are contiguous in `flat`, so the matrix is one reshape)."""
     import numpy as np
 
+    if isinstance(tokens, _FlatBatch):
+        fb = tokens
+        if fb.n == 0 or not bool((fb.lens == size).all()):
+            return None
+        start = int(fb.offs[0])
+        return (fb.flat[start:start + fb.n * size]
+                .astype(np.int64).reshape(fb.n, size))
     arrs = tokens.values
     if len(arrs) == 0:
         return None
@@ -351,14 +465,30 @@ def _file_id16_vectorized(tokens: pd.Series):
 # ---------------------------------------------------------------------------
 
 class _FlatBatch:
-    __slots__ = ("flat", "buf", "offs", "lens", "n")
+    __slots__ = ("flat", "_buf", "offs", "lens", "n")
 
     def __init__(self, flat, buf, offs, lens):
         self.flat = flat      # np.uint8 view of the whole batch
-        self.buf = buf        # the same bytes (for cheap per-row slicing)
+        self._buf = buf       # the same bytes (for cheap per-row slicing);
+                              # None = materialize lazily from `flat` (the
+                              # arrow_udf path — fixed-layout decoders then
+                              # never pay the batch copy at all)
         self.offs = offs      # int64 start offset of each row
         self.lens = lens      # int64 length of each row
         self.n = len(offs)
+
+    @property
+    def buf(self) -> bytes:
+        if self._buf is None:
+            self._buf = self.flat.tobytes()
+        return self._buf
+
+    def __iter__(self):
+        # scalar-fallback iteration: per-row bytes, same values the
+        # pandas_udf path would hand tokens_to_bytes
+        buf = self.buf
+        for o, ln in zip(self.offs.tolist(), self.lens.tolist()):
+            yield buf[o:o + ln]
 
     def u(self, rel, width, base=None):
         """Little-endian unsigned int of `width` bytes at row-relative
@@ -374,13 +504,18 @@ class _FlatBatch:
         return acc.view(np.int64) if width == 8 else acc.astype(np.int64)
 
 
-def _flat_batch(tokens: pd.Series, min_len: int):
+def _flat_batch(tokens, min_len: int):
     """Build a _FlatBatch over packed-binary rows, or None when the batch
     is empty / in contract array<int32> form / contains any row shorter
     than `min_len` (those batches take the scalar fallback, which carries
-    per-row try/except quarantine semantics)."""
+    per-row try/except quarantine semantics). A prebuilt _FlatBatch (the
+    arrow_udf input path) passes straight through the same gates."""
     import numpy as np
 
+    if isinstance(tokens, _FlatBatch):
+        if tokens.n == 0 or int(tokens.lens.min()) < min_len:
+            return None
+        return tokens
     vals = tokens.values
     n = len(vals)
     if n == 0 or not isinstance(vals[0], (bytes, bytearray)):
@@ -1075,6 +1210,45 @@ def _decode_table_map_cached(buf: bytes) -> dict:
     return decode_table_map_py(buf)
 
 
+def _table_map_vectorized(tokens):
+    """Whole-batch TableMap decode via per-unique-payload memoization.
+    Real binlogs repeat a byte-identical TableMap ahead of every rows
+    event of the same table (decode_table_map_memo's legitimacy argument)
+    — a 20k-row batch holds only a handful of distinct payloads, so
+    decode each once and gather columns back instead of paying the
+    per-row lru lookup + dict copy + per-field append (measured 7.0s of
+    the pinned 1-core decode stage at 6M events, round-7 profile).
+    Per-payload errors keep scalar-path parity: the same decoder raises
+    the same exception text, nulling every field of the affected rows."""
+    if isinstance(tokens, _FlatBatch):
+        rows = list(tokens)
+    else:
+        vals = tokens.values
+        if len(vals) == 0 or not isinstance(vals[0], (bytes, bytearray)):
+            return None
+        rows = [bytes(v) for v in vals]
+    if not rows:
+        return None
+    names = [f.name for f in TABLE_MAP_SCHEMA.fields]
+    uniq: dict[bytes, dict] = {}
+    for b in rows:
+        if b not in uniq:
+            try:
+                d = dict(_decode_table_map_cached(b))
+                d["parse_error"] = None
+            except Exception as e:  # noqa: BLE001 — quarantine, don't panic
+                d = dict.fromkeys(names)
+                d["parse_error"] = f"{type(e).__name__}: {e}"
+            uniq[b] = d
+    cols: dict[str, list] = {n: [] for n in names}
+    for b in rows:
+        d = uniq[b]
+        for n in names:
+            cols[n].append(d[n])
+    return pd.DataFrame(
+        {n: pd.Series(cols[n], dtype=object) for n in names}, columns=names)
+
+
 def decode_table_map_memo(buf: bytes) -> dict:
     """Memoized TableMap decode. Real binlogs emit a byte-identical
     TableMap ahead of every rows event of the same table (the event IS the
@@ -1521,7 +1695,8 @@ DECODERS: dict[str, tuple[T.StructType, Callable]] = {
                         _simple(EXEC_LOAD_QUERY_SCHEMA,
                                 decode_execute_load_query_py)),
     "TABLE_MAP": (TABLE_MAP_SCHEMA,
-                  _simple(TABLE_MAP_SCHEMA, decode_table_map_memo)),
+                  lambda: _rowwise(TABLE_MAP_SCHEMA, decode_table_map_memo,
+                                   _table_map_vectorized)),
     "INCIDENT": (INCIDENT_SCHEMA, _simple(INCIDENT_SCHEMA, decode_incident_py)),
     "ROWS_QUERY": (ROWS_QUERY_SCHEMA,
                    lambda: _rowwise(ROWS_QUERY_SCHEMA, decode_rows_query_py,

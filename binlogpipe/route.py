@@ -9,6 +9,8 @@ Unknown / v0-v1 rows types route to QUARANTINE instead of panicking.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,5 +44,14 @@ def routed(df_with_header: DataFrame, shuffle_partitions: int | None = None) -> 
     df = df_with_header.withColumn("salt", salt_expr())
     if shuffle_partitions is None:
         sc = df.sparkSession.sparkContext
-        shuffle_partitions = max(sc.defaultParallelism * 2, 32)
+        # Floor 8, not 32 (round 7): the width already scales with cores
+        # (2x defaultParallelism — 64 at local[32], unchanged there; any
+        # real cluster is far above the floor), and the old constant-32
+        # floor was tuned for the saturated local bench: at 1-4 cores it
+        # made the fan-out write emit 32 tasks x ~18 sinks of ~2 MB files,
+        # paying task+file overhead with no parallelism to gain and
+        # handing the decode stage hundreds of tiny pruned reads.
+        # SPARK_GRAFT_ROUTE_FLOOR restores/overrides (the A/B knob).
+        floor = int(os.environ.get("SPARK_GRAFT_ROUTE_FLOOR", "8"))
+        shuffle_partitions = max(sc.defaultParallelism * 2, floor)
     return df.repartition(shuffle_partitions, "sink", "salt")

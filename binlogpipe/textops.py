@@ -215,7 +215,16 @@ def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
     candidates in EVERY band — at 100 TB one boilerplate page melts the
     stage. Dropped buckets trade recall only for mega-clusters (k > cap),
     which exact dedup already catches."""
-    sig = minhash_signature(docs)
+    # isnotnull(doc_id) BEFORE the signature: the pair self-join pushes
+    # this exact filter into ITS copies of the banded subtree, so without
+    # it here the bucket-size aggregate's copy differs and Spark's
+    # exchange reuse never fires — measured (round 7): the executed
+    # doc_neardup_minhash plan held 6 parquet scans, 0 ReusedExchange,
+    # i.e. the shingle+signature subtree ran 4x. With the filter all
+    # copies are canonically identical and collapse into one exchange.
+    # Result-neutral: a null doc_id can never appear in a pair (the join
+    # condition is null-rejecting), and only the pair path calls this.
+    sig = minhash_signature(docs.where(F.col("doc_id").isNotNull()))
     # one posexplode, NOT a 4-way union: each union branch re-evaluates the
     # whole signature (and its shingle sets) — 4 branches x 2 join sides x
     # the size subquery multiplied the shingle work ~12x in the plan
@@ -239,11 +248,21 @@ def _lsh_banded(docs: DataFrame, max_bucket: int) -> DataFrame:
     width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                            "200"))
     banded = banded.repartition(width, "band", "band_key")
-    sizes = (banded.groupBy("band", "band_key")
-             .agg(F.count("*").alias("_bsz"))
-             .where(F.col("_bsz") <= max_bucket)
-             .drop("_bsz"))
-    return banded.join(sizes, ["band", "band_key"])
+    # Bucket-size cap as a WINDOW over the exchange, not a groupBy+join:
+    # the aggregate's copy of the banded subtree is column-pruned (its
+    # Generate drops doc_id), so it can never be exchange-reused with the
+    # join side — the executed round-7 plan showed the whole
+    # scan→shingles→signature→posexplode subtree evaluated 4x with 0
+    # ReusedExchange. count(*) over (partition by band, band_key) runs on
+    # the exchange's own partitioning (no extra shuffle, no second
+    # subtree); identical bucket sizes, identical surviving rows, oracle
+    # unchanged.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    return (banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5,
@@ -323,14 +342,30 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # the df cap must not trigger a driver-side count() (a full extra scan
     # at 100 TB): broadcast the 1-row count aggregate into the plan instead
     n_docs = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
-    rare = (inv.groupBy("sh").agg(F.count("*").alias("df"))
-            .crossJoin(n_docs)
-            .where(F.col("df") <= F.least(
-                F.greatest(F.floor(F.col("_n_docs") * F.lit(max_df)),
-                           F.lit(2)),
-                F.lit(max_df_abs)))
-            .select("sh"))
-    inv_r = inv.join(rare, "sh")
+    # df cap as a WINDOW over one explicit exchange on `sh`, not a
+    # groupBy+join back: the aggregate's copy of the inverted-index
+    # subtree is column-pruned (drops doc_id) so it can never be
+    # exchange-reused with the join side — the shingle split+fold ran
+    # once per consumer (round-7 plan audit, same finding as
+    # _lsh_banded). The exchange is ALSO exactly the partitioning the
+    # a⋈b candidate self-join needs on `sh`, so both join sides read the
+    # one shuffle (ReusedExchange) instead of re-exploding. Identical
+    # df values, identical surviving rows; the oracle is unchanged. At
+    # scale this additionally replaces a broadcast of the (huge)
+    # rare-shingle set with the partitioned inverted index — the
+    # standard shape.
+    from pyspark.sql import Window
+
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                           "200"))
+    inv_r = (inv.repartition(width, "sh")
+             .withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+             .crossJoin(n_docs)
+             .where(F.col("df") <= F.least(
+                 F.greatest(F.floor(F.col("_n_docs") * F.lit(max_df)),
+                            F.lit(2)),
+                 F.lit(max_df_abs)))
+             .select("doc_id", "sh"))
     a = inv_r.select(F.col("doc_id").alias("doc_a"), "sh")
     b = inv_r.select(F.col("doc_id").alias("doc_b"), "sh")
     cand = (a.join(b, "sh").where(F.col("doc_a") < F.col("doc_b"))
