@@ -85,6 +85,51 @@ def _REPART1() -> bool:
     return os.environ.get("SPARK_GRAFT_DECODE_REPART1") == "1"
 
 
+def _REPART_OFF() -> bool:
+    """A/B knob: skip the decode-stage width control entirely at ANY par
+    (the pruned scan's natural splits run as-is). See _decode_narrow."""
+    return os.environ.get("SPARK_GRAFT_DECODE_REPART") == "0"
+
+
+def _decode_narrow(sink_df: DataFrame, par: int) -> DataFrame:
+    """Width control for a decode unit's pruned scan — round-7 default is
+    ``coalesce(par)``: the fewer-bigger-tasks benefit the round-4
+    repartition bought (tiny scan splits pay per-task Python-worker
+    overhead) WITHOUT serializing the sink payload through an exchange
+    (guide §2.4: remove shuffles outright). The shuffle was pure overhead
+    wherever the pruned scan already yields >= par splits — exactly the
+    1->4 scaling pair's 4-core side, where it was the largest non-scaling
+    term. Same-window interleaved pinned A/Bs (tools/opt_ab.py, round 7):
+
+      4c pinned, 12M events: repartition decode 58.8/57.9 s ->
+        no-repart 46.4/48.0 s (-19%) -> coalesce 45.0/41.9 s
+        (coalesce beats no-repart in every pairwise round; e2e
+        112.7 s median -> 89.5 s across the chained windows)
+      32c, 6M events: repartition decode median 7.46 s -> coalesce
+        6.93 s; e2e median 17.27 -> 16.61 s (coalesce wins 2/3 rounds,
+        3rd a tie); plain no-repart loses at 32c (decode median 9.1 s,
+        one 15.7 s variance spike) — task-count control still pays at
+        wide parallelism, it just never needed the shuffle.
+
+    coalesce(par) is a no-op when the scan yields <= par splits, so the
+    underparallelized-read case the round-4 repartition targeted cannot
+    regress below the scan's own width — and at par==1 there is nothing
+    to merge, so the stage stays width-control-free (the round-7
+    repartition(1) removal, unchanged).
+
+    Knobs: SPARK_GRAFT_DECODE_COALESCE=0 restores the repartition;
+    SPARK_GRAFT_DECODE_REPART=0 skips width control entirely;
+    SPARK_GRAFT_DECODE_REPART1=1 forces the pre-round-7 repartition
+    shape even at par==1 (A/B baselines)."""
+    if _REPART1():
+        return sink_df.repartition(par)
+    if par <= 1 or _REPART_OFF():
+        return sink_df
+    if os.environ.get("SPARK_GRAFT_DECODE_COALESCE", "1") == "1":
+        return sink_df.coalesce(par)
+    return sink_df.repartition(par)
+
+
 def sink_decode_projection(sink: str, sink_df: DataFrame, dim: DataFrame,
                            fused: bool = False,
                            keep_sink: bool = False) -> DataFrame:
@@ -522,16 +567,10 @@ def run_pipeline(
 
         def decode_single(sink: str) -> None:
             sink_df = routed_df.filter(F.col("sink") == sink)
-            # the pruned read yields few, small files which the scan packs
-            # into 1-2 input splits — round-robin repartition restores
-            # Python-worker parallelism for the decode UDF (the shuffle is
-            # tiny next to the decode CPU). At par==1 there is no
-            # parallelism to restore: repartition(1) is a pure payload
-            # shuffle (serialize+spill+read of the whole sink) that the
-            # pinned 1-core scaling cells paid on every salted sink.
-            # SPARK_GRAFT_DECODE_REPART1=1 restores it (the A/B knob).
-            if (par > 1 or _REPART1()) and sink in layout.SALT_FACTORS:
-                sink_df = sink_df.repartition(par)
+            # hot (salted) sinks get shuffle-free width control for the
+            # decode UDF — see _decode_narrow for the measured rationale
+            if sink in layout.SALT_FACTORS:
+                sink_df = _decode_narrow(sink_df, par)
             tgt = str(out / "sinks" / sink)
             dec = sink_decode_projection(sink, sink_df, dim,
                                          fused=fuse_hot_decode)
@@ -548,9 +587,8 @@ def run_pipeline(
             # write. Crash safety: marks land only after a sink's rename;
             # a rerun regroups the unmarked remainder.
             sink_df = routed_df.filter(F.col("sink").isin(todo))
-            if (par > 1 or _REPART1()) and any(
-                    s in layout.SALT_FACTORS for s in todo):
-                sink_df = sink_df.repartition(par)
+            if any(s in layout.SALT_FACTORS for s in todo):
+                sink_df = _decode_narrow(sink_df, par)
             dec = sink_decode_projection(todo[0], sink_df, dim,
                                          fused=fuse_hot_decode,
                                          keep_sink=True)

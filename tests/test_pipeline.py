@@ -358,6 +358,34 @@ def test_fold_and_singles_sink_layouts_identical(spark, fixture_parquet,
         assert ka == kb, sink
 
 
+def test_decode_coalesce_and_repartition_outputs_identical(
+        spark, fixture_parquet, tmp_path, monkeypatch, pipeline_out):
+    """The decode stage's width control is shuffle-free by default
+    (job._decode_narrow: coalesce(par), round 7) with the round-4
+    repartition behind SPARK_GRAFT_DECODE_COALESCE=0 — both are pure
+    task-placement mechanisms, so every typed sink's rows, columns and
+    dir set must be identical between the two shapes. pipeline_out runs
+    the coalesce default at local[4] (par>1 => width control active on
+    the salted sinks); this run forces the repartition."""
+    from binlogpipe import job
+
+    monkeypatch.setenv("SPARK_GRAFT_DECODE_COALESCE", "0")
+    out = tmp_path / "out"
+    m = job.run_pipeline(spark, fixture_parquet, str(out), run_id="repart")
+    assert m["rows"] == 166
+    base = Path(pipeline_out["out"]) / "sinks"
+    sinks = sorted(p.name for p in base.iterdir() if p.is_dir())
+    assert sorted(p.name for p in (out / "sinks").iterdir()
+                  if p.is_dir()) == sinks
+    for sink in sinks:
+        a = spark.read.parquet(str(base / sink))
+        b = spark.read.parquet(str(out / "sinks" / sink))
+        assert sorted(a.columns) == sorted(b.columns), sink
+        ka = {r["doc_id"]: r.asDict() for r in a.collect()}
+        kb = {r["doc_id"]: r.asDict() for r in b.collect()}
+        assert ka == kb, sink
+
+
 def test_stale_group_staging_swept_on_resume(spark, fixture_parquet,
                                              tmp_path, monkeypatch):
     """A run killed mid-decode_group leaves a `sinks/_grp_*` staging dir
