@@ -352,3 +352,22 @@ def test_kmeans_seeds_by_vec_id_value(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cents = vecops.kmeans_centroids(emb, n_centroids=4)
     assert len(cents) == 3  # only ids 0,1,2 qualify — same as the oracle
+
+
+def test_shingle_unroll_matches_aggregate_fold(spark, monkeypatch):
+    """The unrolled element_at rolling hash (SPARK_GRAFT_UNROLL_SHINGLE=1,
+    the default) must be bit-identical to the aggregate(slice(...)) fold it
+    replaced — including the short-document branch (len < n, where slice()
+    folds a partial window and element_at would run past the end)."""
+    monkeypatch.setenv("SPARK_GRAFT_UNROLL_SHINGLE", "1")
+    e_new = textops._shingle_expr()
+    monkeypatch.setenv("SPARK_GRAFT_UNROLL_SHINGLE", "0")
+    e_old = textops._shingle_expr()
+    assert e_new != e_old  # the knob actually switches forms
+    docs = ["", "a", "ab", "abc", "abcd", "hello world " * 50,
+            "é中文 mixed", "x\ty\nz", "aaa aaa aaa", "\x0b odd ws"]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    a = sorted(df.selectExpr("doc_id", f"{e_new} AS s").collect())
+    b = sorted(df.selectExpr("doc_id", f"{e_old} AS s").collect())
+    assert a == b
