@@ -62,7 +62,17 @@ def build_spark(app: str = "binlogpipe", cores: int | None = None,
         .config("spark.sql.execution.python.udf.maxRecordsPerBatch", "20000")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # parquet codec: lz4_raw over snappy (round 7). The pipeline writes
+        # and re-reads its own parquet (routed table + 18 typed sinks), so
+        # codec CPU is paid on every stage; pinned 1-core write probe:
+        # route-to-write 66-68s snappy vs 59s lz4_raw at ~equal size
+        # (306 vs 308 MB); zstd is 30% smaller but +35% wall — the right
+        # trade only when storage/network dominates, which is a conf, not
+        # a code shape. Parameterised for that reason:
+        # SPARK_GRAFT_PARQUET_CODEC=snappy|zstd|... (full A/B below in
+        # OPTIMIZATION_r07.md).
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "lz4_raw"))
         # shuffle/spill codec: zstd over the lz4 default. Interleaved A/Bs
         # (round 5, BENCH appendix): sf0.1 e2e 32c zstd wins 4/5 pairs
         # (median -4%, best -10%); sf1.0 full pipeline -4.5% e2e with the
