@@ -153,9 +153,13 @@ def cmd_stream(args) -> None:
             max_files_per_trigger=args.max_files_per_trigger,
             input_format=fmt)
     # scheme-aware: a drain with no new files processes zero micro-batches
-    # and never creates out/sinks — a valid no-op invocation, not an error
-    sinks = sorted(job.list_partition_dirs(
-        spark, f"{str(args.out).rstrip('/')}/sinks", ""))
+    # and never creates out/sinks — a valid no-op invocation, not an error.
+    # `_grp_*` is decode_group staging, never a sink (same filter as the
+    # trans dump listing): if a batch run sharing this out tree crashed
+    # mid-group, its staging dir must not surface as a bogus sink here.
+    sinks = sorted(s for s in job.list_partition_dirs(
+        spark, f"{str(args.out).rstrip('/')}/sinks", "")
+        if not s.startswith("_grp_"))
     print(json.dumps({"out": args.out, "checkpoint": ck, "sinks": sinks}))
 
 

@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--variants", default="base,fold,overlap,both")
     args = ap.parse_args()
     names = args.variants.split(",")
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        raise SystemExit(
+            f"unknown variant(s) {unknown}; choose from {sorted(VARIANTS)}")
     walls: dict[str, list[float]] = {v: [] for v in names}
     stages: dict[str, list[dict]] = {v: [] for v in names}
     for r in range(args.rounds):
@@ -73,7 +77,9 @@ def main() -> None:
             print(f"[round {r}] {v}: {c['wall']:.2f}s", flush=True)
     out = {}
     for v in names:
-        keys = stages[v][0].keys() if stages[v] and stages[v][0] else []
+        # union across rounds, not round 0's keys: a round that returned
+        # empty stages (wedge-retry path) must not drop every stage median
+        keys = sorted(set().union(*stages[v])) if stages[v] else []
         out[v] = {
             "walls": walls[v],
             "median": round(statistics.median(walls[v]), 3),
